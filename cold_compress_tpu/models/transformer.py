@@ -1,0 +1,388 @@
+"""Functional decoder-only transformer (Llama/Qwen2 family).
+
+TPU-native redesign of the reference ``Transformer`` (reference:
+model.py:174-457). Weights are a pytree of arrays, the KV caches are a tuple
+of ``CacheState`` pytrees threaded through pure ``prefill``/``decode_step``
+functions, and attention/caching follow the reference's core dataflow
+contract (SURVEY.md §3.2):
+
+  * decode inserts the new token into the cache BEFORE attention;
+  * prefill runs full causal attention FIRST, then (optionally) compresses
+    the prompt and fills the cache.
+
+Weights are stored ``[in, out]`` (transposed from torch Linear) so the hot
+matmuls are plain ``x @ w`` on the MXU; q/k/v projections are separate arrays
+sharded on the head axis (decode is weight-bandwidth-bound, so the reference's
+fused wqkv buys nothing on TPU and would complicate tensor-parallel
+PartitionSpecs — see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..caches import (
+    CacheState,
+    compress_prompt,
+    decode_update,
+    get_cache_strategy,
+    get_prompt_compressor,
+    prefill_attn_summary,
+    prefill_update,
+)
+from ..ops.attention import causal_prefill_attention, gqa_attention
+from ..ops.linear import linear
+from .config import ModelConfig
+from .rope import apply_rotary_emb, precompute_freqs_cis
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Parameter initialization
+# --------------------------------------------------------------------------
+
+
+def init_params(
+    cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
+) -> Params:
+    """Random-normal initialized weights in the canonical pytree layout."""
+
+    def dense(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+            dtype
+        )
+
+    keys = jax.random.split(key, cfg.n_layer + 3)
+    D, H, KVH, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    layers = []
+    for i in range(cfg.n_layer):
+        lk = jax.random.split(keys[i], 8)
+        layer = {
+            "attn": {
+                "wq": dense(lk[0], (D, H * hd)),
+                "wk": dense(lk[1], (D, KVH * hd)),
+                "wv": dense(lk[2], (D, KVH * hd)),
+                "wo": dense(lk[3], (H * hd, D)),
+            },
+            "ffn": {
+                "w1": dense(lk[4], (D, cfg.intermediate_size)),
+                "w3": dense(lk[5], (D, cfg.intermediate_size)),
+                "w2": dense(lk[6], (cfg.intermediate_size, D)),
+            },
+            "attention_norm": jnp.ones((D,), dtype),
+            "ffn_norm": jnp.ones((D,), dtype),
+        }
+        if cfg.attention_bias:
+            layer["attn"]["bq"] = jnp.zeros((H * hd,), dtype)
+            layer["attn"]["bk"] = jnp.zeros((KVH * hd,), dtype)
+            layer["attn"]["bv"] = jnp.zeros((KVH * hd,), dtype)
+        layers.append(layer)
+    params = {
+        "tok_embeddings": dense(keys[-3], (cfg.vocab_size, D)),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "output": None
+        if cfg.tie_word_embeddings
+        else dense(keys[-2], (D, cfg.vocab_size)),
+    }
+    return params
+
+
+def make_rope_table(cfg: ModelConfig) -> jax.Array:
+    return precompute_freqs_cis(
+        cfg.block_size, cfg.head_dim, cfg.rope_base, cfg.rope_scaling
+    )
+
+
+# --------------------------------------------------------------------------
+# Building blocks
+# --------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in f32 (reference: model.py:446-457)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps
+    )
+    return normed.astype(x.dtype) * weight
+
+
+def feed_forward(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """SwiGLU MLP (reference: model.py:435-443)."""
+    return linear(jax.nn.silu(linear(x, p["w1"])) * linear(x, p["w3"]), p["w2"])
+
+
+def _qkv(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array, freqs: jax.Array):
+    """Project + rotate. x: [B, L, D] -> q [B,H,L,hd], k/v [B,KVH,L,hd]."""
+    B, L, _ = x.shape
+    q = linear(x, p["wq"], p.get("bq"))
+    k = linear(x, p["wk"], p.get("bk"))
+    v = linear(x, p["wv"], p.get("bv"))
+    q = q.reshape(B, L, cfg.n_head, cfg.head_dim)
+    k = k.reshape(B, L, cfg.n_kv_head, cfg.head_dim)
+    v = v.reshape(B, L, cfg.n_kv_head, cfg.head_dim)
+    q = apply_rotary_emb(q, freqs)
+    k = apply_rotary_emb(k, freqs)
+    return (
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+
+
+# --------------------------------------------------------------------------
+# Attention layers: prefill and decode paths
+# --------------------------------------------------------------------------
+
+
+def attention_prefill(
+    cfg: ModelConfig,
+    p: Dict[str, Any],
+    x: jax.Array,  # [B, P, D]
+    cache: CacheState,
+    input_pos: jax.Array,  # [P]
+    valid: jax.Array,  # bool [B, P]
+    prompt_len: jax.Array,  # scalar
+    freqs: jax.Array,  # [P, hd//2, 2]
+) -> Tuple[jax.Array, CacheState]:
+    """Prefill attention + cache fill (reference: model.py:363-427, prefill
+    branch). Full causal attention first, then prompt compression when the
+    budget is below the (padded) prompt length, then the contiguous fill."""
+    spec = cache.spec
+    strategy = get_cache_strategy(spec.cache_strategy)
+    compressor = get_prompt_compressor(spec.prompt_compression_strategy)
+
+    B, P, _ = x.shape
+    C = spec.max_cache_length
+    compress = C < P
+
+    need_attn = strategy.needs_attn or (compress and compressor.needs_attn)
+    q, k, v = _qkv(cfg, p, x, freqs)
+    y, attn = causal_prefill_attention(q, k, v, valid, return_attn=need_attn)
+
+    if compress and compressor.name != "full":
+        keep_pos, k_c, v_c, keep_valid, summary = compress_prompt(
+            compressor, spec, input_pos, k, v, valid, prompt_len, attn=attn
+        )
+        cache = prefill_update(strategy, cache, keep_pos, k_c, v_c, keep_valid)
+        if summary is None and strategy.needs_attn:
+            summary = jnp.take_along_axis(
+                prefill_attn_summary(attn, input_pos, prompt_len, valid),
+                keep_pos,
+                axis=-1,
+            )
+    else:
+        if compress:
+            raise ValueError(
+                "Prompt exceeds the cache budget but the prompt compressor is "
+                "'full' (pass-through); choose a real compression strategy "
+                "or use --feed_long_prompts."
+            )
+        # Budget >= padded prompt: direct fill.
+        cache = prefill_update(
+            strategy, cache, input_pos[None, None, :], k, v, valid[:, None, :]
+        )
+        summary = (
+            prefill_attn_summary(attn, input_pos, prompt_len, valid)
+            if strategy.needs_attn
+            else None
+        )
+    cache = strategy.update_state(
+        spec, cache, input_pos, summary, is_prefill=True, prompt_len=prompt_len
+    )
+
+    y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
+    return linear(y, p["wo"]), cache
+
+
+def attention_decode(
+    cfg: ModelConfig,
+    p: Dict[str, Any],
+    x: jax.Array,  # [B, 1, D]
+    cache: CacheState,
+    input_pos: jax.Array,  # scalar
+    freqs: jax.Array,  # [1, hd//2, 2]
+    attn_top_k: float = 1.0,
+) -> Tuple[jax.Array, CacheState]:
+    """Single-token decode attention over the fixed-budget cache
+    (reference: model.py:389-411, decode branch). The new token is inserted
+    BEFORE attention so it can attend to itself."""
+    spec = cache.spec
+    strategy = get_cache_strategy(spec.cache_strategy)
+    B = x.shape[0]
+
+    q, k, v = _qkv(cfg, p, x, freqs)
+    cache, k_cache, v_cache, mask = decode_update(
+        strategy, cache, input_pos, k, v
+    )
+    kv_mask = mask[:, :, None, None, :]  # [B, KVH, G=1, L=1, C]
+    y, attn = gqa_attention(
+        q,
+        k_cache,
+        v_cache,
+        mask=kv_mask,
+        return_attn=strategy.needs_attn,
+        attn_top_k=attn_top_k,
+    )
+    if attn is not None:
+        cache = strategy.update_state(
+            spec, cache, input_pos, attn[:, :, 0], is_prefill=False
+        )
+    y = y.transpose(0, 2, 1, 3).reshape(B, 1, cfg.n_head * cfg.head_dim)
+    return linear(y, p["wo"]), cache
+
+
+# --------------------------------------------------------------------------
+# Full model forward
+# --------------------------------------------------------------------------
+
+
+def _block(cfg, p, x, attn_out):
+    """Residual wiring (reference: model.py:307-327)."""
+    h = x + attn_out
+    return h + feed_forward(p["ffn"], rms_norm(h, p["ffn_norm"], cfg.norm_eps))
+
+
+def _logits(cfg: ModelConfig, params: Params, x: jax.Array) -> jax.Array:
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    out_w = params["output"]
+    if out_w is None:  # tied embeddings (Qwen2-0.5B)
+        emb = params["tok_embeddings"]
+        if isinstance(emb, dict):
+            from ..ops.linear import dequantize_weight
+
+            emb = dequantize_weight(emb, x.dtype)
+        return jax.lax.dot_general(
+            x,
+            emb,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if isinstance(out_w, dict):
+        return linear(x, out_w).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x,
+        out_w,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _embed(params: Params, tokens: jax.Array) -> jax.Array:
+    emb = params["tok_embeddings"]
+    if isinstance(emb, dict):
+        from ..ops.linear import dequantize_weight
+
+        emb = dequantize_weight(emb)
+    return jnp.take(emb, tokens, axis=0)
+
+
+def prefill(
+    cfg: ModelConfig,
+    params: Params,
+    rope: jax.Array,
+    caches: Tuple[CacheState, ...],
+    tokens: jax.Array,  # [B, P] (padded with any id past prompt_len)
+    prompt_len: jax.Array,  # scalar int32: true prompt length
+) -> Tuple[jax.Array, Tuple[CacheState, ...]]:
+    """Run the full prompt through the model, filling all caches.
+
+    Returns (last-position logits [B, vocab] in f32, caches). Only the final
+    valid position is projected to vocabulary space — the reference computes
+    all-position logits and keeps the last (generation_utils.py:145-160); for
+    128k vocabularies that materializes GBs, so we gather the final hidden
+    state first.
+    """
+    B, P = tokens.shape
+    input_pos = jnp.arange(P, dtype=jnp.int32)
+    valid = jnp.broadcast_to(input_pos[None, :] < prompt_len, (B, P))
+    freqs = rope[:P]
+    x = _embed(params, tokens)
+    new_caches = []
+    for layer_params, cache in zip(params["layers"], caches):
+        attn_out, cache = attention_prefill(
+            cfg,
+            layer_params["attn"],
+            rms_norm(x, layer_params["attention_norm"], cfg.norm_eps),
+            cache,
+            input_pos,
+            valid,
+            prompt_len,
+            freqs,
+        )
+        x = _block(cfg, layer_params, x, attn_out)
+        new_caches.append(cache)
+    last = x[jnp.arange(B), jnp.asarray(prompt_len, jnp.int32) - 1]  # [B, D]
+    logits = _logits(cfg, params, last[:, None])[:, 0]  # [B, vocab] f32
+    return logits, tuple(new_caches)
+
+
+def decode_step(
+    cfg: ModelConfig,
+    params: Params,
+    rope: jax.Array,
+    caches: Tuple[CacheState, ...],
+    token: jax.Array,  # [B] int32
+    input_pos: jax.Array,  # scalar int32
+    attn_top_k: float = 1.0,
+) -> Tuple[jax.Array, Tuple[CacheState, ...]]:
+    """One decode step. Returns (logits [B, vocab] f32, caches)."""
+    B = token.shape[0]
+    freqs = jax.lax.dynamic_slice_in_dim(
+        rope, input_pos, 1, axis=0
+    )  # [1, hd//2, 2]
+    x = _embed(params, token[:, None])  # [B, 1, D]
+    new_caches = []
+    for layer_params, cache in zip(params["layers"], caches):
+        attn_out, cache = attention_decode(
+            cfg,
+            layer_params["attn"],
+            rms_norm(x, layer_params["attention_norm"], cfg.norm_eps),
+            cache,
+            input_pos,
+            freqs,
+            attn_top_k=attn_top_k,
+        )
+        x = _block(cfg, layer_params, x, attn_out)
+        new_caches.append(cache)
+    logits = _logits(cfg, params, x)[:, 0]
+    return logits, tuple(new_caches)
+
+
+# --------------------------------------------------------------------------
+# Cache construction helpers (reference: model.py:191-233 ``setup_caches``)
+# --------------------------------------------------------------------------
+
+
+def init_caches(
+    cfg: ModelConfig,
+    specs,  # Sequence[CacheSpec], one per layer
+    batch_size: int = 1,
+    dtype=jnp.bfloat16,
+) -> Tuple[CacheState, ...]:
+    assert len(specs) == cfg.n_layer
+    caches = []
+    for spec in specs:
+        strategy = get_cache_strategy(spec.cache_strategy)
+        caches.append(
+            strategy.init(
+                spec, batch_size, cfg.n_kv_head, cfg.head_dim, dtype
+            )
+        )
+    return tuple(caches)
+
+
+def model_size_bytes(params: Params) -> int:
+    """Non-embedding parameter bytes (reference: generation_utils.py:569-575)."""
+    total = 0
+    emb = params["tok_embeddings"]
+    emb_ids = {id(leaf) for leaf in jax.tree.leaves(emb)}
+    for leaf in jax.tree.leaves(params):
+        if id(leaf) not in emb_ids:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
