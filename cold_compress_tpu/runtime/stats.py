@@ -1,0 +1,66 @@
+"""Cache/run statistics aggregation and pretty-printing
+(reference: model.py:245-263 ``get_cache_stats``,
+generation_utils.py:23-47 ``print_stats``)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+
+from ..caches import cache_memory_gb, compression_ratio
+
+
+def get_cache_stats(caches, prompt_len: int, gen_len: int) -> Dict[str, Any]:
+    stats: Dict[str, Any] = {}
+    final_seq_len = prompt_len + gen_len
+    avgs = defaultdict(list)
+    mem_total = 0.0
+    for layer_idx, cache in enumerate(caches):
+        layer_stats = {
+            "compression_ratio": float(
+                compression_ratio(cache, jnp.int32(final_seq_len))
+            ),
+        }
+        extra_stats = getattr(cache, "extra", None) or {}
+        if "attention_losses" in extra_stats:
+            losses = extra_stats["attention_losses"]
+            ctr = int(extra_stats["attention_loss_ctr"])
+            if ctr > 0:
+                layer_stats["attention_loss"] = float(losses[:ctr].mean())
+        mem_total += cache_memory_gb(cache)
+        for k, v in layer_stats.items():
+            stats[f"{k}_{layer_idx}"] = v
+            avgs[k].append(v)
+    for k, v in avgs.items():
+        stats[f"{k}_avg"] = sum(v) / len(v)
+    stats["cache_memory_gb"] = mem_total
+    return stats
+
+
+def snake_to_capitalized(s: str) -> str:
+    return " ".join(word.capitalize() for word in s.split("_"))
+
+
+def print_stats(stats_dict: Dict[str, Any]) -> None:
+    layered: Dict[str, list] = {}
+    flat: Dict[str, Any] = {}
+    for key, value in stats_dict.items():
+        parts = key.rsplit("_", 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            layered.setdefault(snake_to_capitalized(parts[0]), []).append(
+                (int(parts[1]), value)
+            )
+        else:
+            flat[snake_to_capitalized(key)] = value
+    for key, value in flat.items():
+        try:
+            print(f"{key}: {value:.02f}")
+        except (TypeError, ValueError):
+            print(f"{key}: {value}")
+    for stat in sorted(layered):
+        layers = ", ".join(
+            f"{l}={v:.02f}" for l, v in sorted(layered[stat])
+        )
+        print(f"{stat} By Layer: {layers}")

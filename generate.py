@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Single-prompt generation CLI (development / vibe-testing entry point).
+
+TPU-native counterpart of the reference driver (reference: generate.py:54-204)
+with the same flags and output sections (generation, perf, bandwidth, KV-cache
+statistics). Additional flag ``--random_weights <model-name>`` runs without a
+checkpoint (random-initialized weights + byte tokenizer) for smoke tests and
+throughput measurement.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from cold_compress_tpu.models import transformer as T
+from cold_compress_tpu.models.config import ModelConfig
+from cold_compress_tpu.runtime.engine import (
+    build_cache_specs,
+    cache_compatibility,
+    compute_max_seq_length,
+    load_model,
+)
+from cold_compress_tpu.runtime.generate import generate
+from cold_compress_tpu.runtime.stats import get_cache_stats, print_stats
+from cold_compress_tpu.tokenizer import encode, get_tokenizer
+from cold_compress_tpu.utils.cli import (
+    add_cache_arguments,
+    add_generation_arguments,
+    merge_cache_config,
+)
+
+
+def main(args) -> None:
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    is_chat = (
+        "chat" in str(args.checkpoint_path).lower()
+        or "instruct" in str(args.checkpoint_path).lower()
+    )
+
+    t0 = time.time()
+    if args.random_weights:
+        cfg = ModelConfig.from_name(args.random_weights)
+        params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        rope = T.make_rope_table(cfg)
+        tokenizer = get_tokenizer(None, "byte")
+    else:
+        checkpoint_path = Path(args.checkpoint_path)
+        assert checkpoint_path.is_file(), checkpoint_path
+        cfg, params, rope = load_model(
+            checkpoint_path, model_name=args.model_name
+        )
+        tokenizer_path = checkpoint_path.parent / "tokenizer.model"
+        if not tokenizer_path.is_file():
+            tokenizer_path = checkpoint_path.parent
+        tokenizer = get_tokenizer(
+            tokenizer_path, checkpoint_path, is_chat=is_chat
+        )
+    print(f"Time to load model: {time.time() - t0:.02f} seconds")
+
+    prompt_ids = encode(tokenizer, args.prompt, is_chat=is_chat)
+    terminator_ids = tokenizer.get_terminator_ids()
+
+    model_size = T.model_size_bytes(params)
+    print(f"{model_size / 1e9:.02f} GB of (non-embedding) parameters.")
+
+    max_prompt_length, max_seq_length = compute_max_seq_length(
+        cfg, [len(prompt_ids)], args.max_new_tokens
+    )
+    max_new_tokens = min(args.max_new_tokens, max_seq_length - max_prompt_length)
+
+    specs = build_cache_specs(cfg, vars(args), max_seq_length)
+    caches = T.init_caches(cfg, specs, batch_size=1)
+
+    if args.profile:
+        jax.profiler.start_trace(str(args.profile))
+
+    seq, info, caches = generate(
+        cfg,
+        params,
+        rope,
+        caches,
+        prompt_ids,
+        max_new_tokens,
+        terminator_ids=terminator_ids,
+        attn_top_k=args.attn_top_k,
+        feed_long_prompts=args.feed_long_prompts,
+    )
+
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    perf_stats = info["perf_stats"]
+    print("\n==========\n")
+    print("GENERATION:")
+    print(tokenizer.decode(seq[info["prompt_length"] :]))
+    print("\n==========\n")
+    print("PERFORMANCE:")
+    tokens_per_second = perf_stats["total_toks_per_sec"]
+    print(
+        f"Time: {perf_stats['total_seconds']:.02f} sec total, "
+        f"{tokens_per_second:.02f} tokens/sec, "
+        f"{perf_stats['decode_tokens']} tokens"
+    )
+    print(f"Bandwidth: {model_size * tokens_per_second / 1e9:.02f} GB/s")
+    print(f"Memory used: {perf_stats['memory_used_gb']:.02f} GB")
+    print("\n==========\n")
+    print("DETAILED PERFORMANCE:")
+    print_stats(perf_stats)
+    print("\n==========\n")
+    print("KV CACHE STATISTICS:")
+    print_stats(
+        get_cache_stats(caches, info["prompt_length"], info["num_generated"])
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Run simple single-prompt generation "
+        "(for development and debugging purposes)."
+    )
+    parser.add_argument(
+        "--prompt",
+        type=str,
+        default="long_prompt_short_output.txt",
+        help="Input prompt; *.txt loads from ./prompts.",
+    )
+    parser.add_argument(
+        "--max_new_tokens", type=int, default=512, help="Max new tokens."
+    )
+    parser.add_argument(
+        "--cache_config",
+        type=str,
+        default=None,
+        help="Name of a YAML file in ./cache_configs.",
+    )
+    parser.add_argument(
+        "--random_weights",
+        type=str,
+        default=None,
+        help="Skip checkpoint loading: run the named architecture with "
+        "random weights and a byte tokenizer.",
+    )
+    add_generation_arguments(parser)
+    add_cache_arguments(parser)
+    args = merge_cache_config(parser.parse_args())
+
+    if args.prompt.endswith(".txt"):
+        prompt_fn = Path(__file__).resolve().parent / "prompts" / args.prompt
+        args.prompt = prompt_fn.read_text().strip()
+
+    cache_compatibility(vars(args))
+    main(args)
