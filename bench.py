@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Headline benchmark: Llama-3-8B decode throughput with a compressed KV cache.
+
+Measures the north-star configuration from BASELINE.md — Llama-3-8B-class
+int4 weights, heavy_hitter cache at 25% budget, 8k context — on the available
+accelerator and prints ONE JSON line:
+
+  {"metric": "decode_toks_per_sec", "value": N, "unit": "tok/s",
+   "vs_baseline": N / 70.0}
+
+Baseline: the reference's compiled+compressed decode speed of ~70 tok/s on an
+A100-class GPU (reference: charts/blogpost_perf.py:8, README.md:72).
+
+Weights are random (throughput is value-independent); packed int4 buffers are
+materialized directly so the 8B model fits in one v5e chip's 16GB HBM.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="Meta-Llama-3-8B-Instruct")
+    ap.add_argument("--smoke", action="store_true", help="Tiny config on CPU.")
+    ap.add_argument("--weight_bits", type=int, default=4, choices=[16, 8, 4])
+    ap.add_argument("--cache_bits", type=int, default=None, choices=[8, 4, 2])
+    ap.add_argument("--strategy", default="heavy_hitter")
+    ap.add_argument("--context", type=int, default=8192)
+    ap.add_argument("--budget_frac", type=float, default=0.25)
+    ap.add_argument("--decode_tokens", type=int, default=256)
+    ap.add_argument("--global_tokens", type=int, default=4)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args.model = "TestTiny"
+        args.context = 128
+        args.decode_tokens = 16
+        args.weight_bits = 16
+
+    from cold_compress_tpu.caches.patterns import normalize_cache_length
+    from cold_compress_tpu.models import transformer as T
+    from cold_compress_tpu.models.config import ModelConfig
+    from cold_compress_tpu.quantization.weight_quant import (
+        random_quantized_params,
+    )
+    from cold_compress_tpu.runtime.engine import build_cache_specs
+    from cold_compress_tpu.runtime.generate import generate, reset_caches
+
+    cfg = ModelConfig.from_name(args.model)
+    if cfg.block_size < args.context:
+        args.context = cfg.block_size
+
+    log = print if args.verbose else (lambda *a, **k: None)
+    t0 = time.time()
+    if args.weight_bits == 16:
+        params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    else:
+        params = random_quantized_params(
+            cfg, mode=f"int{args.weight_bits}"
+        )
+    rope = T.make_rope_table(cfg)
+    log(f"params built in {time.time() - t0:.1f}s")
+
+    budget = args.budget_frac if args.strategy != "full" else 1.0
+    specs = build_cache_specs(
+        cfg,
+        {
+            "cache_strategy": [args.strategy],
+            "max_cache_length": [budget],
+            "prompt_compression_strategy": [
+                "heavy_hitter"
+                if args.strategy in ("heavy_hitter", "hybrid")
+                else "recent_global"
+            ],
+            "global_tokens": args.global_tokens,
+            "recent_window": 10,
+            "cache_bits": args.cache_bits,
+        },
+        max_seq_length=args.context,
+    )
+    caches = T.init_caches(cfg, specs, batch_size=1, dtype=jnp.bfloat16)
+
+    prompt_len = args.context - args.decode_tokens - 8
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(5, cfg.vocab_size - 5, size=prompt_len).tolist()
+
+    # Warmup (compile) with a short decode, then measure.
+    t0 = time.time()
+    _, info, caches = generate(
+        cfg, params, rope, caches, prompt, 8,
+        prefill_bucket=_bucket(prompt_len),
+    )
+    log(f"compile+warmup in {time.time() - t0:.1f}s")
+    caches = reset_caches(caches)
+
+    _, info, caches = generate(
+        cfg, params, rope, caches, prompt, args.decode_tokens,
+        prefill_bucket=_bucket(prompt_len),
+    )
+    perf = info["perf_stats"]
+    log(json.dumps(perf, indent=2))
+
+    value = perf["decode_toks_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "decode_toks_per_sec",
+                "value": round(value, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(value / 70.0, 4),
+                "config": {
+                    "model": args.model,
+                    "weight_bits": args.weight_bits,
+                    "cache_bits": args.cache_bits,
+                    "strategy": args.strategy,
+                    "context": args.context,
+                    "budget_frac": args.budget_frac,
+                    "decode_tokens": args.decode_tokens,
+                    "prefill_toks_per_sec": round(
+                        perf["prefill_toks_per_sec"], 1
+                    ),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+def _bucket(n: int) -> int:
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+if __name__ == "__main__":
+    main()

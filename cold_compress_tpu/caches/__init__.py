@@ -17,7 +17,6 @@ from .prompt_compression import (
     PROMPT_COMPRESSORS,
     compress_prompt,
     get_prompt_compressor,
-    prefill_attn_summary,
 )
 from .strategies import (
     FullCache,

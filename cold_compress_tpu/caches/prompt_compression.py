@@ -25,8 +25,12 @@ class PromptCompressorBase:
     needs_attn = False
 
     @staticmethod
-    def token_importances(spec, input_pos, k, v, prompt_len, attn=None):
-        """Return priority [B, KVH or 1, P] (higher = keep)."""
+    def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
+        """Return priority [B, KVH or 1, P] (higher = keep).
+
+        ``summary`` is the prefill attention summary dict
+        (ops/attention.py ``AttnSummary``) when the compressor needs it.
+        """
         raise NotImplementedError
 
 
@@ -52,7 +56,7 @@ class PromptCompressorRandom(PromptCompressorBase):
     name = "random"
 
     @staticmethod
-    def token_importances(spec, input_pos, k, v, prompt_len, attn=None):
+    def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         P = input_pos.shape[-1]
         key = jax.random.fold_in(jax.random.PRNGKey(1234), prompt_len)
         noise = jax.random.uniform(key, (P,))
@@ -68,7 +72,7 @@ class PromptCompressorRecentGlobal(PromptCompressorBase):
     name = "recent_global"
 
     @staticmethod
-    def token_importances(spec, input_pos, k, v, prompt_len, attn=None):
+    def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         priority = jnp.where(
             input_pos < spec.global_tokens, BIG, input_pos.astype(jnp.float32)
         )
@@ -82,7 +86,7 @@ class PromptCompressorL2(PromptCompressorBase):
     head_specific = True
 
     @staticmethod
-    def token_importances(spec, input_pos, k, v, prompt_len, attn=None):
+    def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         priority = -jnp.linalg.norm(k.astype(jnp.float32), axis=-1)
         save = _recent_global_save_mask(spec, input_pos, prompt_len)
         return jnp.where(save[None, None, :], BIG, priority)
@@ -94,7 +98,7 @@ class PromptCompressorKeepItOdd(PromptCompressorBase):
     name = "keep_it_odd"
 
     @staticmethod
-    def token_importances(spec, input_pos, k, v, prompt_len, attn=None):
+    def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         P = input_pos.shape[-1]
         priority = input_pos.astype(jnp.float32)
         priority = jnp.where(input_pos % 2 == 0, priority - 2.0 * P, priority)
@@ -115,20 +119,12 @@ class PromptCompressorHeavyHitter(PromptCompressorBase):
     observation_len = 16
 
     @classmethod
-    def token_importances(cls, spec, input_pos, k, v, prompt_len, attn=None):
-        assert attn is not None
-        # attn: [B, KVH, P, P] query-by-key probabilities (GQA-pooled).
-        P = attn.shape[-1]
+    def token_importances(cls, spec, input_pos, k, v, prompt_len, summary=None):
+        assert summary is not None, "SnapKV needs the prefill attention summary"
         obs_len = jnp.minimum(cls.observation_len, prompt_len)
-        q_pos = input_pos  # [P]
-        # Mean attention from the last obs_len *valid* queries.
-        obs_mask = jnp.logical_and(
-            q_pos >= prompt_len - obs_len, q_pos < prompt_len
-        )  # [P]
-        w = obs_mask.astype(jnp.float32)[None, None, :, None]
-        priority = jnp.sum(attn.astype(jnp.float32) * w, axis=2) / jnp.maximum(
-            jnp.sum(w), 1.0
-        )  # [B, KVH, P]
+        # summary['obs_mean']: mean attention from the last obs_len valid
+        # queries, streamed during prefill (never materializes the P x P map).
+        priority = summary["obs_mean"]  # [B, KVH, P]
         priority = _avg_pool_1d(priority, cls.kernel_size)
         # Force-keep the observation window and the global prefix.
         keep = jnp.logical_or(
@@ -178,18 +174,6 @@ def get_prompt_compressor(strategy: str):
     return PROMPT_COMPRESSORS[strategy]
 
 
-def prefill_attn_summary(attn, input_pos, prompt_len, valid):
-    """Per-key average attention over the queries that can see it.
-
-    Mirrors reference cache.py:703-704: ``attn.sum(queries) / (seq_len -
-    input_pos)``, with invalid (padded) query rows zeroed.
-    """
-    w = valid.astype(jnp.float32)[:, None, :, None]  # [B,1,P,1]
-    total = jnp.sum(attn.astype(jnp.float32) * w, axis=2)  # [B,KVH,P]
-    denom = jnp.maximum(prompt_len - input_pos, 1).astype(jnp.float32)
-    return total / denom[None, None, :]
-
-
 def compress_prompt(
     compressor,
     spec,
@@ -198,19 +182,19 @@ def compress_prompt(
     v: jax.Array,
     valid: jax.Array,  # bool [B, P]
     prompt_len: jax.Array,  # scalar
-    attn: Optional[jax.Array] = None,  # [B, KVH, P, P] if needs_attn
+    summary=None,  # AttnSummary dict if compressor.needs_attn
 ):
     """Score, select, and gather the kept prompt tokens.
 
     Returns ``(keep_pos [B,KVH,C], k' [B,KVH,C,D], v', keep_valid [B,KVH,C],
-    attn_summary [B,KVH,C] | None)`` where C = spec.max_cache_length.
+    kept_attn [B,KVH,C] | None)`` where C = spec.max_cache_length.
     Mirrors reference prompt_compression.py:28-43 with static shapes: if fewer
     than C valid tokens exist, padded picks carry ``keep_valid=False``.
     """
     B, KVH, P, D = k.shape
     C = spec.max_cache_length
     priority = compressor.token_importances(
-        spec, input_pos, k, v, prompt_len, attn=attn
+        spec, input_pos, k, v, prompt_len, summary=summary
     )
     priority = jnp.broadcast_to(priority, (B, KVH, P)).astype(jnp.float32)
     priority = jnp.where(valid[:, None, :], priority, NEG_INF)
@@ -227,9 +211,10 @@ def compress_prompt(
     k_out = jnp.take_along_axis(k, keep_idx[..., None], axis=2)
     v_out = jnp.take_along_axis(v, keep_idx[..., None], axis=2)
 
-    summary = None
-    if attn is not None:
-        cum_attn = prefill_attn_summary(attn, input_pos, prompt_len, valid)
-        summary = jnp.take_along_axis(cum_attn, keep_idx, axis=-1)
-        summary = jnp.where(keep_valid, summary, 0.0)
-    return keep_pos, k_out, v_out, keep_valid, summary
+    kept_attn = None
+    if summary is not None:
+        # Seed for the heavy-hitter attention history: query-averaged mass of
+        # each kept token (reference: prompt_compression.py:189-194).
+        kept_attn = jnp.take_along_axis(summary["cum_mean"], keep_idx, axis=-1)
+        kept_attn = jnp.where(keep_valid, kept_attn, 0.0)
+    return keep_pos, k_out, v_out, keep_valid, kept_attn

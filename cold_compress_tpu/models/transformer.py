@@ -30,11 +30,10 @@ from ..caches import (
     decode_update,
     get_cache_strategy,
     get_prompt_compressor,
-    prefill_attn_summary,
     prefill_update,
 )
-from ..ops.attention import causal_prefill_attention, gqa_attention
-from ..ops.linear import linear
+from ..ops.attention import gqa_attention, prefill_attention
+from ..ops.linear import dequantize_weight, is_quantized, linear
 from .config import ModelConfig
 from .rope import apply_rotary_emb, precompute_freqs_cis
 
@@ -161,20 +160,23 @@ def attention_prefill(
     C = spec.max_cache_length
     compress = C < P
 
-    need_attn = strategy.needs_attn or (compress and compressor.needs_attn)
+    need_summary = strategy.needs_attn or (compress and compressor.needs_attn)
     q, k, v = _qkv(cfg, p, x, freqs)
-    y, attn = causal_prefill_attention(q, k, v, valid, return_attn=need_attn)
+    # Streaming prefill attention: O(P) per-key summaries instead of the
+    # reference's full P x P probability map (attention_utils.py:36-54).
+    y, summary = prefill_attention(
+        q, k, v, valid, prompt_len, need_summary=need_summary
+    )
 
     if compress and compressor.name != "full":
-        keep_pos, k_c, v_c, keep_valid, summary = compress_prompt(
-            compressor, spec, input_pos, k, v, valid, prompt_len, attn=attn
+        keep_pos, k_c, v_c, keep_valid, kept_attn = compress_prompt(
+            compressor, spec, input_pos, k, v, valid, prompt_len,
+            summary=summary,
         )
         cache = prefill_update(strategy, cache, keep_pos, k_c, v_c, keep_valid)
-        if summary is None and strategy.needs_attn:
-            summary = jnp.take_along_axis(
-                prefill_attn_summary(attn, input_pos, prompt_len, valid),
-                keep_pos,
-                axis=-1,
+        if kept_attn is None and strategy.needs_attn:
+            kept_attn = jnp.take_along_axis(
+                summary["cum_mean"], keep_pos, axis=-1
             )
     else:
         if compress:
@@ -187,13 +189,10 @@ def attention_prefill(
         cache = prefill_update(
             strategy, cache, input_pos[None, None, :], k, v, valid[:, None, :]
         )
-        summary = (
-            prefill_attn_summary(attn, input_pos, prompt_len, valid)
-            if strategy.needs_attn
-            else None
-        )
+        kept_attn = summary["cum_mean"] if strategy.needs_attn else None
     cache = strategy.update_state(
-        spec, cache, input_pos, summary, is_prefill=True, prompt_len=prompt_len
+        spec, cache, input_pos, kept_attn, is_prefill=True,
+        prompt_len=prompt_len,
     )
 
     y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
@@ -253,9 +252,7 @@ def _logits(cfg: ModelConfig, params: Params, x: jax.Array) -> jax.Array:
     out_w = params["output"]
     if out_w is None:  # tied embeddings (Qwen2-0.5B)
         emb = params["tok_embeddings"]
-        if isinstance(emb, dict):
-            from ..ops.linear import dequantize_weight
-
+        if is_quantized(emb):
             emb = dequantize_weight(emb, x.dtype)
         return jax.lax.dot_general(
             x,
@@ -263,7 +260,7 @@ def _logits(cfg: ModelConfig, params: Params, x: jax.Array) -> jax.Array:
             (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    if isinstance(out_w, dict):
+    if is_quantized(out_w):
         return linear(x, out_w).astype(jnp.float32)
     return jax.lax.dot_general(
         x,
@@ -275,9 +272,7 @@ def _logits(cfg: ModelConfig, params: Params, x: jax.Array) -> jax.Array:
 
 def _embed(params: Params, tokens: jax.Array) -> jax.Array:
     emb = params["tok_embeddings"]
-    if isinstance(emb, dict):
-        from ..ops.linear import dequantize_weight
-
+    if is_quantized(emb):
         emb = dequantize_weight(emb)
     return jnp.take(emb, tokens, axis=0)
 

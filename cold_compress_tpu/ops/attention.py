@@ -1,20 +1,23 @@
-"""Grouped-query attention with optional returned probabilities and top-k
-value aggregation.
+"""Grouped-query attention: decode-path masked attention with optional
+returned probabilities / top-k value aggregation, and memory-bounded prefill.
 
 TPU-native counterpart of the reference's ``scaled_dot_product_attention``
-wrapper (reference: attention_utils.py:8-54): when a cache strategy needs
-attention probabilities (heavy-hitter, hybrid, analysis), we take the "math"
-einsum path and return GQA-pooled probs; otherwise the caller may use the
-fused flash path for prefill. Unlike the reference we never materialize
-GQA-repeated K/V — the query heads are folded into a group axis and contracted
-against the shared KV heads directly.
+wrapper (reference: attention_utils.py:8-54). Two deliberate departures:
+
+* GQA is computed with a grouped einsum — repeated K/V heads are never
+  materialized (the reference repeat_interleaves, model.py:395-400).
+* Prefill never materializes the P×P attention map. The compression methods
+  only consume per-key *summaries* of it (SnapKV's observation-window mean,
+  the heavy-hitter query-averaged mass — reference cache.py:703-704,
+  prompt_compression.py:170-194), so prefill streams over query chunks with
+  O(P) accumulators. The reference materializes the full map and averages it
+  (fine on 80GB A100s, fatal in 16GB of HBM at 8k+ context).
 """
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +34,7 @@ def gqa_attention(
     return_attn: bool = False,
     attn_top_k: float = 1.0,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Masked softmax attention with grouped queries.
+    """Masked softmax attention with grouped queries (decode hot path).
 
     Returns ``(out [B, H, L, D], attn [B, KVH, L, S] | None)`` where ``attn``
     is mean-pooled over the query-group axis, matching the reference's GQA
@@ -60,7 +63,6 @@ def gqa_attention(
         # Decode-only sparse value aggregation over top-k scored slots.
         topv, topi = jax.lax.top_k(scores, top_k)  # [B,KVH,G,L,K]
         probs = jax.nn.softmax(topv, axis=-1)
-        # Gather V rows per (b, kvh, g): v [B,KVH,S,D] -> [B,KVH,G,L,K,D]
         v_exp = jnp.broadcast_to(v[:, :, None, None], (B, KVH, G, L, S, D))
         v_top = jnp.take_along_axis(v_exp, topi[..., None], axis=4)
         out = jnp.einsum("bkglt,bkgltd->bkgld", probs, v_top.astype(probs.dtype))
@@ -85,44 +87,141 @@ def gqa_attention(
     return out, attn
 
 
-def causal_prefill_attention(
+# --------------------------------------------------------------------------
+# Prefill
+# --------------------------------------------------------------------------
+
+#: Per-key attention summaries produced during prefill:
+#:   obs_mean [B, KVH, P] — mean attention from the last ``obs_len`` valid
+#:       queries (SnapKV's observation window, prompt_compression.py:170-183)
+#:   cum_mean [B, KVH, P] — attention mass averaged over the queries that can
+#:       see each key (heavy-hitter prefill seeding, cache.py:703-704)
+AttnSummary = Dict[str, jax.Array]
+
+
+def prefill_attention(
     q: jax.Array,  # [B, H, P, D]
     k: jax.Array,  # [B, KVH, P, D]
     v: jax.Array,  # [B, KVH, P, D]
     valid: jax.Array,  # bool [B, P] (True for real prompt tokens)
-    return_attn: bool = False,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
+    prompt_len: jax.Array,  # scalar int32
+    need_summary: bool = False,
+    obs_len: int = 16,
+    chunk_size: int = 1024,
+) -> Tuple[jax.Array, Optional[AttnSummary]]:
     """Full causal self-attention over a (padded) prompt.
 
-    Rows attend causally; padded key columns are masked out. When ``attn`` is
-    not needed this routes to a fused flash kernel on TPU; the math path is the
-    fallback (and the only path that can return probabilities — same dispatch
-    contract as the reference, attention_utils.py:26-35).
+    Padded key positions sit at indices >= prompt_len, which every valid
+    query's causal mask already excludes, so no explicit padding mask is
+    needed for keys; padded *query* rows produce garbage that downstream
+    never reads (the final hidden state is gathered at prompt_len-1 and
+    padded cache slots carry mask=False).
     """
     B, H, P, D = q.shape
-    if not return_attn:
-        flash = _maybe_flash(q, k, v, valid)
+    if not need_summary:
+        flash = _maybe_flash(q, k, v)
         if flash is not None:
             return flash, None
-    causal = jnp.tril(jnp.ones((P, P), dtype=bool))
-    mask = causal[None, None, None] & valid[:, None, None, None, :]
-    return gqa_attention(q, k, v, mask=mask, return_attn=return_attn)
+        if P <= chunk_size:
+            causal = jnp.tril(jnp.ones((P, P), dtype=bool))
+            out, _ = gqa_attention(q, k, v, mask=causal[None, None, None])
+            return out, None
+    return _chunked_prefill(
+        q, k, v, valid, prompt_len, need_summary, obs_len, chunk_size
+    )
 
 
-def _maybe_flash(q, k, v, valid):
+def _chunked_prefill(
+    q, k, v, valid, prompt_len, need_summary, obs_len, chunk_size
+):
+    """Stream over query chunks; O(P·chunk) live memory.
+
+    Each query row's softmax is independent, so chunking is exact (no online
+    rescaling needed — keys are not chunked).
+    """
+    B, H, P, D = q.shape
+    KVH = k.shape[1]
+    G = H // KVH
+    scale = 1.0 / math.sqrt(D)
+    chunk = min(chunk_size, P)
+    n_chunks = -(-P // chunk)
+    Ppad = n_chunks * chunk
+    qg = q.reshape(B, KVH, G, P, D)
+    if Ppad != P:
+        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, 0), (0, Ppad - P), (0, 0)])
+    key_pos = jnp.arange(P)
+    kf = k.astype(jnp.bfloat16)
+    vf = v.astype(jnp.bfloat16)
+    prompt_len = jnp.asarray(prompt_len, jnp.int32)
+
+    def body(carry, ci):
+        cum, obs = carry
+        qc = jax.lax.dynamic_slice_in_dim(qg, ci * chunk, chunk, axis=3)
+        q_pos = ci * chunk + jnp.arange(chunk)
+        scores = (
+            jnp.einsum(
+                "bkgld,bksd->bkgls",
+                qc.astype(jnp.bfloat16),
+                kf,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        causal = key_pos[None, :] <= q_pos[:, None]  # [chunk, P]
+        scores = jnp.where(causal[None, None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)  # f32
+        y_c = jnp.einsum(
+            "bkgls,bksd->bkgld",
+            probs.astype(jnp.bfloat16),
+            vf,
+            preferred_element_type=jnp.float32,
+        )
+        if need_summary:
+            pooled = probs.mean(axis=2)  # [B, KVH, chunk, P]
+            q_valid = (q_pos < prompt_len).astype(jnp.float32)  # [chunk]
+            cum = cum + jnp.einsum("bkcs,c->bks", pooled, q_valid)
+            in_obs = jnp.logical_and(
+                q_pos >= prompt_len - obs_len, q_pos < prompt_len
+            ).astype(jnp.float32)
+            obs = obs + jnp.einsum("bkcs,c->bks", pooled, in_obs)
+        return (cum, obs), y_c
+
+    zeros = jnp.zeros((B, KVH, P), jnp.float32)
+    (cum, obs), ys = jax.lax.scan(
+        body, (zeros, zeros), jnp.arange(n_chunks)
+    )
+    # ys: [n_chunks, B, KVH, G, chunk, D] -> [B, H, P, D]
+    y = jnp.moveaxis(ys, 0, 3).reshape(B, KVH, G, Ppad, D)[:, :, :, :P]
+    y = y.reshape(B, H, P, D).astype(q.dtype)
+
+    if not need_summary:
+        return y, None
+    obs_count = jnp.maximum(jnp.minimum(obs_len, prompt_len), 1).astype(
+        jnp.float32
+    )
+    denom = jnp.maximum(prompt_len - key_pos, 1).astype(jnp.float32)
+    summary = {
+        "obs_mean": obs / obs_count,
+        "cum_mean": cum / denom[None, None, :],
+    }
+    return y, summary
+
+
+def _maybe_flash(q, k, v):
     """Fused flash attention via the JAX-shipped Pallas TPU kernel.
 
-    Returns None if unavailable (non-TPU backend or unsupported shape), in
-    which case the caller falls back to the XLA einsum path.
+    Returns None if unavailable (non-TPU backend or unsupported shape); the
+    caller falls back to the chunked XLA path.
     """
-    if jax.default_backend() not in ("tpu",):
+    if jax.default_backend() != "tpu":
         return None
     B, H, P, D = q.shape
     KVH = k.shape[1]
-    if P % 128 != 0 or D % 128 != 0:
+    if P % 128 != 0 or D % 128 != 0 or P < 256:
         return None
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
             flash_attention,
         )
 
@@ -130,17 +229,14 @@ def _maybe_flash(q, k, v, valid):
         if G > 1:
             k = jnp.repeat(k, G, axis=1)
             v = jnp.repeat(v, G, axis=1)
-        # Padded key positions are excluded via a large-negative additive bias.
-        bias = jnp.where(valid[:, None, None, :], 0.0, NEG_INF).astype(
-            jnp.float32
-        )
+        blk = min(512, P)
         return flash_attention(
-            q.astype(jnp.float32),
-            k.astype(jnp.float32),
-            v.astype(jnp.float32),
-            ab=jnp.broadcast_to(bias, (B, H, P, P)),
+            q,
+            k,
+            v,
             causal=True,
             sm_scale=1.0 / math.sqrt(D),
+            block_sizes=BlockSizes.get_default(),
         ).astype(q.dtype)
     except Exception:
         return None

@@ -17,8 +17,29 @@ dequant-matmul kernel is used on TPU for the int4 path (ops/pallas_qmm.py).
 
 from __future__ import annotations
 
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class QuantizedWeight:
+    """Self-describing quantized weight leaf (kind/group_size are static so
+    the pytree jits cleanly)."""
+
+    w: jax.Array
+    scales: jax.Array
+    zeros: Optional[jax.Array] = None
+    kind: str = field(default="int8", metadata=dict(static=True))
+    group_size: int = field(default=128, metadata=dict(static=True))
+
+
+def is_quantized(x) -> bool:
+    return isinstance(x, QuantizedWeight)
 
 
 def unpack_int4(packed: jax.Array, axis: int = 0) -> jax.Array:
@@ -48,27 +69,24 @@ def pack_int4(vals: jax.Array, axis: int = 0) -> jax.Array:
 
 
 def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
-    """Materialize a quantized weight dict as a dense [in, out] array."""
-    if not isinstance(w_leaf, dict):
+    """Materialize a quantized weight leaf as a dense [in, out] array."""
+    if not is_quantized(w_leaf):
         return w_leaf.astype(dtype)
-    kind = w_leaf["kind"]
-    if kind == "int8":
-        return (w_leaf["w"].astype(jnp.float32) * w_leaf["scales"][None, :]).astype(
-            dtype
-        )
-    if kind == "int4":
-        gs = w_leaf["group_size"]
-        w = unpack_int4(w_leaf["w"], axis=0).astype(jnp.float32)  # [in, out]
+    if w_leaf.kind == "int8":
+        return (
+            w_leaf.w.astype(jnp.float32) * w_leaf.scales[None, :]
+        ).astype(dtype)
+    if w_leaf.kind == "int4":
+        gs = w_leaf.group_size
+        w = unpack_int4(w_leaf.w, axis=0).astype(jnp.float32)  # [in, out]
         in_dim, out_dim = w.shape
         w = w.reshape(in_dim // gs, gs, out_dim)
-        scales = w_leaf["scales"][:, None, :]
-        zeros = w_leaf["zeros"][:, None, :]
         # Affine: x_deq = (q - 8) * scale + zero  (mid-point convention shared
         # with the KV-cache quantizer; reference quantize.py:133-176 uses an
         # equivalent min/max affine form).
-        w = (w - 8.0) * scales + zeros
+        w = (w - 8.0) * w_leaf.scales[:, None, :] + w_leaf.zeros[:, None, :]
         return w.reshape(in_dim, out_dim).astype(dtype)
-    raise ValueError(f"Unknown quantized weight kind: {kind}")
+    raise ValueError(f"Unknown quantized weight kind: {w_leaf.kind}")
 
 
 def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
@@ -76,7 +94,7 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
 
     x: [..., in]; returns [..., out].
     """
-    if isinstance(w_leaf, dict):
+    if is_quantized(w_leaf):
         w = dequantize_weight(w_leaf, dtype=x.dtype)
     else:
         w = w_leaf

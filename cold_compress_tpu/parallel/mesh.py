@@ -1,0 +1,186 @@
+"""Device mesh + sharding rules: TPU-native tensor parallelism.
+
+Replaces the reference's NCCL/torchrun tensor parallelism (reference:
+tp.py:23-176) with a ``jax.sharding.Mesh`` over ICI and PartitionSpec
+annotations; XLA's GSPMD inserts the per-layer all-reduces that tp.py
+registers as forward hooks (tp.py:134-138,156-160).
+
+Sharding scheme (parity with tp.py:59-176):
+  * wq/wk/wv, w1/w3: column-wise → output dim sharded on the ``tp`` axis;
+  * wo, w2: row-wise → input dim sharded on ``tp`` (psum after, via GSPMD);
+  * KV caches: sharded on the KV-head axis — eviction scoring is per-head
+    local (SURVEY.md §5.7), so every cache strategy composes with TP at zero
+    extra communication;
+  * batch on the ``dp`` axis (the reference has no in-model batch axis —
+    job-level DP only; here it is first-class).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..caches.base import CacheState
+from ..models.config import ModelConfig
+from ..ops.linear import QuantizedWeight, is_quantized
+
+
+def make_mesh(
+    tp: int = 1, dp: int = 1, devices=None
+) -> Mesh:
+    """Build a (dp, tp) mesh. On multi-host TPU pods, callers should order
+    ``devices`` so the tp axis rides ICI (default device order does)."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp * dp, (
+        f"Need {tp * dp} devices, have {len(devices)}"
+    )
+    dev_array = np.asarray(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+def _weight_spec(role: str, leaf):
+    """PartitionSpec (or dict of specs) for a dense or quantized weight leaf.
+
+    role: 'col' (shard output dim), 'row' (shard input dim), 'rep'.
+    Quantized dict leaves shard their payload consistently:
+      int8: w [in, out], scales [out]
+      int4: w [in//2, out] (packed along in), scales/zeros [n_groups, out]
+    """
+    if leaf is None:
+        return None
+    if is_quantized(leaf):
+        if role == "rep":
+            return {"w": P(), "scales": P(), "zeros": P()}
+        col = role == "col"
+        spec = {"w": P(None, "tp") if col else P("tp", None)}
+        if leaf.kind == "int8":
+            spec["scales"] = P("tp") if col else P(None)
+            spec["zeros"] = None
+        else:  # int4: scales/zeros are [n_groups(in), out]
+            gspec = P(None, "tp") if col else P("tp", None)
+            spec["scales"] = gspec
+            spec["zeros"] = gspec
+        return spec
+    if role == "col":
+        return P(None, "tp")
+    if role == "row":
+        return P("tp", None)
+    return P()
+
+
+def param_pspecs(cfg: ModelConfig, params) -> dict:
+    """PartitionSpec pytree matching the params layout
+    (tp.py's scheme expressed as specs)."""
+    layers = []
+    for lp in params["layers"]:
+        attn = {
+            "wq": _weight_spec("col", lp["attn"]["wq"]),
+            "wk": _weight_spec("col", lp["attn"]["wk"]),
+            "wv": _weight_spec("col", lp["attn"]["wv"]),
+            "wo": _weight_spec("row", lp["attn"]["wo"]),
+        }
+        for b in ("bq", "bk", "bv"):
+            if b in lp["attn"]:
+                attn[b] = P("tp")
+        layers.append(
+            {
+                "attn": attn,
+                "ffn": {
+                    "w1": _weight_spec("col", lp["ffn"]["w1"]),
+                    "w3": _weight_spec("col", lp["ffn"]["w3"]),
+                    "w2": _weight_spec("row", lp["ffn"]["w2"]),
+                },
+                "attention_norm": P(),
+                "ffn_norm": P(),
+            }
+        )
+    return {
+        "tok_embeddings": _weight_spec("rep", params["tok_embeddings"]),
+        "layers": layers,
+        "norm": P(),
+        "output": _weight_spec("col", params["output"])
+        if params["output"] is not None
+        else None,
+    }
+
+
+def cache_pspecs(state: CacheState) -> CacheState:
+    """Spec pytree for a cache state: batch on dp, KV heads on tp.
+
+    Head-axis sharding needs no cross-device communication for any strategy:
+    scores, argmin eviction, and history updates are head-local.
+    """
+
+    def leaf_spec(x):
+        if x is None:
+            return None
+        if x.ndim >= 2 and x.shape[1] == state.pos.shape[1]:
+            # [B, KVH, ...] layout
+            return P("dp", "tp", *([None] * (x.ndim - 2)))
+        if x.ndim == 0:
+            return P()
+        return P(*([None] * x.ndim))
+
+    return jax.tree.map(leaf_spec, state)
+
+
+def tree_place(node, spec_node, mesh: Mesh):
+    """Recursively device_put arrays per a parallel spec tree.
+
+    Hand-rolled (rather than jax.tree.map) because params mix array leaves
+    with None / str / int metadata that pytree mapping would reject.
+    """
+    if is_quantized(node):
+        return QuantizedWeight(
+            w=jax.device_put(node.w, NamedSharding(mesh, spec_node["w"])),
+            scales=jax.device_put(
+                node.scales, NamedSharding(mesh, spec_node["scales"])
+            ),
+            zeros=None
+            if node.zeros is None
+            else jax.device_put(
+                node.zeros, NamedSharding(mesh, spec_node["zeros"])
+            ),
+            kind=node.kind,
+            group_size=node.group_size,
+        )
+    if isinstance(node, dict):
+        return {
+            k: tree_place(v, spec_node[k], mesh) for k, v in node.items()
+        }
+    if isinstance(node, (list, tuple)):
+        out = [tree_place(v, s, mesh) for v, s in zip(node, spec_node)]
+        return type(node)(out)
+    if node is None or spec_node is None or not hasattr(node, "ndim"):
+        return node
+    return jax.device_put(node, NamedSharding(mesh, spec_node))
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place params on the mesh with TP shardings."""
+    return tree_place(params, param_pspecs(cfg, params), mesh)
+
+
+def shard_caches(caches, mesh: Mesh):
+    out = []
+    for state in caches:
+        specs = cache_pspecs(state)
+        leaves, treedef = jax.tree.flatten(state)
+        spec_leaves = jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P))
+        placed = [
+            jax.device_put(x, NamedSharding(mesh, s))
+            for x, s in zip(leaves, spec_leaves)
+        ]
+        out.append(jax.tree.unflatten(treedef, placed))
+    return tuple(out)
+
+
+def validate_tp(cfg: ModelConfig, tp: int) -> None:
+    assert cfg.n_kv_head % tp == 0, (
+        f"TP degree {tp} must divide n_kv_head={cfg.n_kv_head} so KV caches "
+        "shard evenly on the head axis."
+    )
+    assert cfg.n_head % tp == 0 and cfg.intermediate_size % tp == 0

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..caches import CacheSpec, get_cache_strategy
+from ..ops.linear import QuantizedWeight
 from ..caches.patterns import apply_pattern, normalize_cache_length
 from ..models import transformer as T
 from ..models.config import ModelConfig
@@ -136,7 +137,15 @@ def compute_max_seq_length(
 
 def _flatten(params, prefix=""):
     flat = {}
-    if isinstance(params, dict):
+    if isinstance(params, QuantizedWeight):
+        flat[prefix + "w"] = np.asarray(params.w)
+        flat[prefix + "scales"] = np.asarray(params.scales)
+        if params.zeros is not None:
+            flat[prefix + "zeros"] = np.asarray(params.zeros)
+        flat[prefix + "qmeta"] = np.array(
+            [4 if params.kind == "int4" else 8, params.group_size]
+        )
+    elif isinstance(params, dict):
         for k, v in params.items():
             flat.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(params, (list, tuple)):
@@ -183,6 +192,15 @@ def load_params(path: str, dtype=None):
 
 def _listify(node):
     if isinstance(node, dict):
+        if "qmeta" in node:
+            bits, group_size = (int(x) for x in np.asarray(node["qmeta"]))
+            return QuantizedWeight(
+                w=node["w"],
+                scales=node["scales"],
+                zeros=node.get("zeros"),
+                kind=f"int{bits}",
+                group_size=group_size,
+            )
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [
@@ -208,21 +226,5 @@ def load_model(
     name = model_name or path.parent.name
     cfg = ModelConfig.from_name(name)
     params = load_params(str(path), dtype=precision)
-    params = _restore_quant_tags(params)
     rope = T.make_rope_table(cfg)
     return cfg, params, rope
-
-
-def _restore_quant_tags(node):
-    """npz stores the 'kind' tag as a 0-d unicode array; restore to str."""
-    if isinstance(node, dict):
-        out = {}
-        for k, v in node.items():
-            if k == "kind" and not isinstance(v, str):
-                out[k] = str(np.asarray(v))
-            else:
-                out[k] = _restore_quant_tags(v)
-        return out
-    if isinstance(node, list):
-        return [_restore_quant_tags(v) for v in node]
-    return node
