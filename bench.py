@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cold_compress_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -205,6 +205,17 @@ MODEL_CONFIGS = {
         rope_base=10000.0,
         max_length=256,
     ),
+    "TestTinyLong": dict(
+        block_size=32768,
+        n_layer=2,
+        n_head=4,
+        n_kv_head=2,
+        dim=64,
+        intermediate_size=128,
+        vocab_size=512,
+        rope_base=100000.0,
+        max_length=32768,
+    ),
     "TestTinyMQA": dict(
         block_size=128,
         n_layer=3,

@@ -16,6 +16,10 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
+from cold_compress_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from cold_compress_tpu.models import transformer as T
 from cold_compress_tpu.models.config import ModelConfig
 from cold_compress_tpu.runtime.engine import (
