@@ -97,10 +97,11 @@ def main():
     rng = np.random.RandomState(0)
     prompt = rng.randint(5, cfg.vocab_size - 5, size=prompt_len).tolist()
 
-    # Warmup (compile) with a short decode, then measure.
+    # Warmup (compile) with identical static shapes as the measured run so
+    # both the prefill and decode-loop executables are reused.
     t0 = time.time()
     _, info, caches = generate(
-        cfg, params, rope, caches, prompt, 8,
+        cfg, params, rope, caches, prompt, args.decode_tokens,
         prefill_bucket=_bucket(prompt_len),
     )
     log(f"compile+warmup in {time.time() - t0:.1f}s")

@@ -11,6 +11,7 @@ from .base import (
     materialize_kv,
     prefill_update,
     reset_state,
+    strategy_needs_attn,
 )
 from .heavy_hitter import HeavyHitterCache
 from .prompt_compression import (

@@ -61,8 +61,11 @@ class CacheSpec:
     # FastGen hybrid knobs (M7)
     min_recovery_frac: float = 0.9
     hybrid_strategies: Tuple[Any, ...] = ()
-    attn_record_freq: int = 10
-    drop_amount: int = 0
+    # Static token vocab classifications for the hybrid cache (from the
+    # tokenizer: special-token sequences and punctuation ids,
+    # reference: generation_utils.py:378-384).
+    token_ids_special: Tuple[Tuple[int, ...], ...] = ()
+    token_ids_punc: Tuple[int, ...] = ()
 
     @property
     def quantized(self) -> bool:
@@ -408,6 +411,31 @@ class CacheStrategy:
         """
         return state
 
+    @classmethod
+    def decode_update(cls, state: CacheState, input_pos, k, v, token=None):
+        """Insert one token (pre-attention), evicting if needed. Strategies
+        with non-score-based insert logic (hybrid) override this wholesale.
+
+        Returns (state, k_cache, v_cache, mask); see module-level
+        ``decode_update``.
+        """
+        spec = state.spec
+        idx, state = cls.eviction_idx(spec, state, input_pos)
+        inserted = (gather_scalar(state.pos, idx) == -1).astype(jnp.int32)
+        k_row = k[:, :, 0]
+        v_row = v[:, :, 0]
+        state = store_kv_rows(state, idx, k_row, v_row)
+        state = state.replace(
+            pos=scatter_scalar(
+                state.pos, idx, jnp.asarray(input_pos, jnp.int32)
+            ),
+            mask=scatter_scalar(state.mask, idx, True),
+            cache_ct=state.cache_ct + inserted,
+        )
+        state = cls.on_decode_fill(spec, state, idx, input_pos, k_row, v_row)
+        k_full, v_full = materialize_kv(state, dtype=k.dtype)
+        return state, k_full, v_full, state.mask
+
 
 # --------------------------------------------------------------------------
 # Top-level cache ops used by the model
@@ -420,26 +448,22 @@ def decode_update(
     input_pos: jax.Array,  # scalar int32: position of the incoming token
     k: jax.Array,  # [B, KVH, 1, D]
     v: jax.Array,
+    token: Optional[jax.Array] = None,  # [B] current token ids (hybrid punc)
 ):
     """Insert one token (pre-attention), evicting if needed.
 
     Returns (state, k_cache [B,KVH,C,D], v_cache, mask [B,KVH,C]).
     Mirrors reference cache.py:348-364 (``_decoding_update``).
     """
-    spec = state.spec
-    idx, state = strategy.eviction_idx(spec, state, input_pos)
-    inserted = (gather_scalar(state.pos, idx) == -1).astype(jnp.int32)
-    k_row = k[:, :, 0]
-    v_row = v[:, :, 0]
-    state = store_kv_rows(state, idx, k_row, v_row)
-    state = state.replace(
-        pos=scatter_scalar(state.pos, idx, jnp.asarray(input_pos, jnp.int32)),
-        mask=scatter_scalar(state.mask, idx, True),
-        cache_ct=state.cache_ct + inserted,
-    )
-    state = strategy.on_decode_fill(spec, state, idx, input_pos, k_row, v_row)
-    k_full, v_full = materialize_kv(state, dtype=k.dtype)
-    return state, k_full, v_full, state.mask
+    return strategy.decode_update(state, input_pos, k, v, token=token)
+
+
+def strategy_needs_attn(strategy: type, spec: CacheSpec) -> bool:
+    """Whether decode must return attention probabilities for this cache;
+    hybrid depends on its menu."""
+    if hasattr(strategy, "menu_needs_attn"):
+        return strategy.menu_needs_attn(spec)
+    return strategy.needs_attn
 
 
 def prefill_update(

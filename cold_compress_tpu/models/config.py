@@ -201,7 +201,7 @@ MODEL_CONFIGS = {
         n_kv_head=2,
         dim=64,
         intermediate_size=128,
-        vocab_size=256,
+        vocab_size=512,  # covers the byte tokenizer's special ids (256-257)
         rope_base=10000.0,
         max_length=256,
     ),

@@ -31,6 +31,7 @@ from ..caches import (
     get_cache_strategy,
     get_prompt_compressor,
     prefill_update,
+    strategy_needs_attn,
 )
 from ..ops.attention import gqa_attention, prefill_attention
 from ..ops.linear import dequantize_weight, is_quantized, linear
@@ -148,6 +149,7 @@ def attention_prefill(
     valid: jax.Array,  # bool [B, P]
     prompt_len: jax.Array,  # scalar
     freqs: jax.Array,  # [P, hd//2, 2]
+    tokens: Optional[jax.Array] = None,  # [B, P] ids (hybrid profiling)
 ) -> Tuple[jax.Array, CacheState]:
     """Prefill attention + cache fill (reference: model.py:363-427, prefill
     branch). Full causal attention first, then prompt compression when the
@@ -160,8 +162,21 @@ def attention_prefill(
     C = spec.max_cache_length
     compress = C < P
 
-    need_summary = strategy.needs_attn or (compress and compressor.needs_attn)
     q, k, v = _qkv(cfg, p, x, freqs)
+
+    if hasattr(strategy, "profile_prefill"):
+        # Hybrid/FastGen: profiling replaces compression+fill entirely; the
+        # attention output itself never needs probabilities returned.
+        y, _ = prefill_attention(q, k, v, valid, prompt_len)
+        cache = strategy.profile_prefill(
+            spec, cache, q, k, v, tokens, input_pos, valid, prompt_len
+        )
+        y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
+        return linear(y, p["wo"]), cache
+
+    need_summary = strategy_needs_attn(strategy, spec) or (
+        compress and compressor.needs_attn
+    )
     # Streaming prefill attention: O(P) per-key summaries instead of the
     # reference's full P x P probability map (attention_utils.py:36-54).
     y, summary = prefill_attention(
@@ -174,7 +189,7 @@ def attention_prefill(
             summary=summary,
         )
         cache = prefill_update(strategy, cache, keep_pos, k_c, v_c, keep_valid)
-        if kept_attn is None and strategy.needs_attn:
+        if kept_attn is None and strategy_needs_attn(strategy, spec):
             kept_attn = jnp.take_along_axis(
                 summary["cum_mean"], keep_pos, axis=-1
             )
@@ -189,11 +204,21 @@ def attention_prefill(
         cache = prefill_update(
             strategy, cache, input_pos[None, None, :], k, v, valid[:, None, :]
         )
-        kept_attn = summary["cum_mean"] if strategy.needs_attn else None
+        kept_attn = (
+            summary["cum_mean"]
+            if strategy_needs_attn(strategy, spec)
+            else None
+        )
     cache = strategy.update_state(
         spec, cache, input_pos, kept_attn, is_prefill=True,
         prompt_len=prompt_len,
     )
+    if hasattr(strategy, "post_prefill"):
+        # Analysis (debug_*) caches fill their shadow compressed cache here.
+        cache = strategy.post_prefill(
+            spec, cache, k, v, summary, input_pos, valid, prompt_len,
+            tokens=tokens,
+        )
 
     y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
     return linear(y, p["wo"]), cache
@@ -207,6 +232,7 @@ def attention_decode(
     input_pos: jax.Array,  # scalar
     freqs: jax.Array,  # [1, hd//2, 2]
     attn_top_k: float = 1.0,
+    token: Optional[jax.Array] = None,  # [B] current token ids
 ) -> Tuple[jax.Array, CacheState]:
     """Single-token decode attention over the fixed-budget cache
     (reference: model.py:389-411, decode branch). The new token is inserted
@@ -217,7 +243,7 @@ def attention_decode(
 
     q, k, v = _qkv(cfg, p, x, freqs)
     cache, k_cache, v_cache, mask = decode_update(
-        strategy, cache, input_pos, k, v
+        strategy, cache, input_pos, k, v, token=token
     )
     kv_mask = mask[:, :, None, None, :]  # [B, KVH, G=1, L=1, C]
     y, attn = gqa_attention(
@@ -225,7 +251,7 @@ def attention_decode(
         k_cache,
         v_cache,
         mask=kv_mask,
-        return_attn=strategy.needs_attn,
+        return_attn=strategy_needs_attn(strategy, spec),
         attn_top_k=attn_top_k,
     )
     if attn is not None:
@@ -274,7 +300,9 @@ def _embed(params: Params, tokens: jax.Array) -> jax.Array:
     emb = params["tok_embeddings"]
     if is_quantized(emb):
         emb = dequantize_weight(emb)
-    return jnp.take(emb, tokens, axis=0)
+    # mode='clip': out-of-range ids (padding sentinels) must not produce the
+    # NaN fill values jnp.take defaults to.
+    return jnp.take(emb, tokens, axis=0, mode="clip")
 
 
 def prefill(
@@ -309,6 +337,7 @@ def prefill(
             valid,
             prompt_len,
             freqs,
+            tokens=tokens,
         )
         x = _block(cfg, layer_params, x, attn_out)
         new_caches.append(cache)
@@ -342,6 +371,7 @@ def decode_step(
             input_pos,
             freqs,
             attn_top_k=attn_top_k,
+            token=token,
         )
         x = _block(cfg, layer_params, x, attn_out)
         new_caches.append(cache)

@@ -90,6 +90,19 @@ def build_cache_specs(
         "Global tokens must be less than max_cache_length."
     )
 
+    hybrid_strategies = ()
+    if kw.get("hybrid_strategies"):
+        from ..caches.hybrid import normalize_hybrid_strategies
+
+        hybrid_strategies = normalize_hybrid_strategies(
+            kw["hybrid_strategies"]
+        )
+    token_ids = token_ids or kw.get("token_ids") or {}
+    token_ids_special = tuple(
+        tuple(int(t) for t in seq) for seq in token_ids.get("special", ())
+    )
+    token_ids_punc = tuple(int(t) for t in token_ids.get("punctuation", ()))
+
     specs = []
     for i in range(cfg.n_layer):
         specs.append(
@@ -104,7 +117,9 @@ def build_cache_specs(
                 attn_thresholding=bool(kw.get("attn_thresholding", False)),
                 prompt_compression_strategy=prompt_strategies[i],
                 min_recovery_frac=float(kw.get("min_recovery_frac", 0.9)),
-                hybrid_strategies=tuple(kw.get("hybrid_strategies", ()) or ()),
+                hybrid_strategies=hybrid_strategies,
+                token_ids_special=token_ids_special,
+                token_ids_punc=token_ids_punc,
             )
         )
     return tuple(specs)

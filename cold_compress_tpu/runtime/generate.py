@@ -223,7 +223,21 @@ def generate(
         forced_first = None
 
     # ---- prefill ---------------------------------------------------------
+    # Direct-fill caches (full / hybrid / debug_*) write all P padded slots,
+    # so the padding bucket must not exceed their cache length.
+    direct_fill = [
+        c.spec.max_cache_length
+        for c in caches
+        if c.spec.cache_strategy in ("full", "hybrid")
+        or c.spec.cache_strategy.startswith("debug_")
+    ]
     P = prefill_bucket or bucket_length(prompt_length)
+    if direct_fill and P > min(direct_fill):
+        P = min(direct_fill)
+        assert P >= prompt_length, (
+            f"Prompt ({prompt_length} tokens) exceeds the smallest "
+            f"direct-fill cache length ({P})."
+        )
     padded = prompt + [pad_id] * (P - prompt_length)
     tokens = jnp.asarray([padded], dtype=jnp.int32)
 

@@ -100,6 +100,11 @@ def add_cache_arguments(parser: argparse.ArgumentParser):
         "probabilities.",
     )
     parser.add_argument(
+        "--hybrid_strategies",
+        default=None,
+        help="Hybrid (FastGen) strategy menu; set via a cache_config YAML.",
+    )
+    parser.add_argument(
         "--min_recovery_frac",
         default=0.9,
         type=float,

@@ -155,7 +155,15 @@ def run_task(
         )
         else min(median_seq_length, max_seq_length)
     )
-    specs = build_cache_specs(cfg, vars(args), target_length)
+    token_ids = None
+    if "hybrid" in args.cache_strategy:
+        token_ids = {
+            "special": tokenizer.special_ids(),
+            "punctuation": tokenizer.punctuation_ids(),
+        }
+    specs = build_cache_specs(
+        cfg, vars(args), target_length, token_ids=token_ids
+    )
     caches = T.init_caches(cfg, specs, batch_size=1)
     mcl = min_cache_length(specs)
 

@@ -78,7 +78,15 @@ def main(args) -> None:
     )
     max_new_tokens = min(args.max_new_tokens, max_seq_length - max_prompt_length)
 
-    specs = build_cache_specs(cfg, vars(args), max_seq_length)
+    token_ids = None
+    if "hybrid" in args.cache_strategy:
+        token_ids = {
+            "special": tokenizer.special_ids(),
+            "punctuation": tokenizer.punctuation_ids(),
+        }
+    specs = build_cache_specs(
+        cfg, vars(args), max_seq_length, token_ids=token_ids
+    )
     caches = T.init_caches(cfg, specs, batch_size=1)
 
     if args.profile:

@@ -1,0 +1,179 @@
+"""FastGen hybrid cache + analysis (debug_) cache tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cold_compress_tpu.caches import CacheSpec, get_cache_strategy
+from cold_compress_tpu.caches.hybrid import (
+    HybridCache,
+    _menu_tables,
+    _special_token_mask,
+    normalize_hybrid_strategies,
+)
+from cold_compress_tpu.models import transformer as T
+from cold_compress_tpu.runtime.engine import build_cache_specs
+from cold_compress_tpu.runtime.generate import generate, reset_caches
+
+MENU = [
+    {"strategy": "window", "recent_window": 0.1},
+    {"strategy": "special_punc_heavy_hitter", "heavy_hitter_frac": 0.25},
+    {
+        "strategy": "window_heavy_hitter",
+        "heavy_hitter_frac": 0.5,
+        "recent_window": 0.1,
+    },
+    {"strategy": "full"},
+]
+TOKEN_IDS = {"special": [[256], [257]], "punctuation": [46, 44, 33]}
+
+
+def hybrid_setup(cfg, min_recovery=0.85, C=96):
+    specs = build_cache_specs(
+        cfg,
+        {
+            "cache_strategy": ["hybrid"],
+            "max_cache_length": [1.0],
+            "prompt_compression_strategy": ["full"],
+            "global_tokens": 2,
+            "hybrid_strategies": MENU,
+            "min_recovery_frac": min_recovery,
+        },
+        max_seq_length=C,
+        token_ids=TOKEN_IDS,
+    )
+    return specs, T.init_caches(cfg, specs, 1, jnp.float32)
+
+
+class TestHybrid:
+    def test_special_token_mask_multitoken(self):
+        spec = CacheSpec(
+            token_ids_special=((5,), (7, 8, 9)), token_ids_punc=()
+        )
+        toks = jnp.asarray([[1, 5, 2, 7, 8, 9, 7, 8, 3]])
+        mask = np.asarray(_special_token_mask(spec, toks))[0]
+        # Single id 5 and the full 7-8-9 subsequence match; partial 7-8 does
+        # not (reference: cache.py:1021-1034 exact-subsequence semantics).
+        np.testing.assert_array_equal(
+            mask,
+            [False, True, False, True, True, True, False, False, False],
+        )
+
+    def test_menu_tables_budgets(self):
+        spec = CacheSpec(
+            max_cache_length=100,
+            hybrid_strategies=normalize_hybrid_strategies(MENU),
+        )
+        t = _menu_tables(spec)
+        np.testing.assert_array_equal(
+            np.asarray(t["window_len"]), [10, 0, 10, 0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t["hh_budget"]), [0, 25, 50, 0]
+        )
+        assert bool(t["is_full"][3])
+
+    def test_full_strategy_always_qualifies(self, tiny_model):
+        """With min_recovery > any compressive score, every head falls to
+        'full' (score 1.0)."""
+        cfg, params, rope = tiny_model
+        specs, caches = hybrid_setup(cfg, min_recovery=0.999)
+        prompt = [256] + list(range(1, 52))
+        _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
+        sidx = np.asarray(caches[0].extra["strategy_idx"])
+        assert np.all(sidx == 3)  # 'full' is menu index 3
+        # Full keeps every prompt token + decoded tokens.
+        assert int(caches[0].cache_ct[0, 0]) >= 52
+
+    def test_low_recovery_picks_most_compressive(self, tiny_model):
+        cfg, params, rope = tiny_model
+        specs, caches = hybrid_setup(cfg, min_recovery=0.01)
+        prompt = [256] + list(range(1, 52))
+        _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
+        sidx = np.asarray(caches[0].extra["strategy_idx"])
+        assert np.all(sidx == 0)  # first (most compressive) entry qualifies
+
+    def test_budget_enforced_during_decode(self, tiny_model):
+        """Heads on a compressive policy stop growing at their budget."""
+        cfg, params, rope = tiny_model
+        specs, caches = hybrid_setup(cfg, min_recovery=0.01, C=96)
+        prompt = [256] + list(range(1, 40))
+        _, info, caches = generate(cfg, params, rope, caches, prompt, 40)
+        st = caches[0]
+        # window strategy budget: global(2) + round(0.1 * 96)=10
+        assert int(st.cache_ct.max()) <= 12 + int(st.extra["num_punc"][0]) + int(
+            st.extra["num_special"][0]
+        )
+
+    def test_variable_length_heads(self, tiny_model):
+        """Different heads may carry different token counts (the hybrid is
+        the only variable-length cache, reference: cache.py:799)."""
+        cfg, params, rope = tiny_model
+        specs, caches = hybrid_setup(cfg, min_recovery=0.9)
+        prompt = [256] + list(range(1, 60)) + [46]
+        _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
+        ct = np.asarray(caches[0].cache_ct)
+        assert ct.min() > 0
+
+    def test_strategy_histogram_sums_to_one(self, tiny_model):
+        cfg, params, rope = tiny_model
+        specs, caches = hybrid_setup(cfg)
+        prompt = [256] + list(range(1, 40))
+        _, _, caches = generate(cfg, params, rope, caches, prompt, 4)
+        hist = np.asarray(
+            HybridCache.strategy_histogram(caches[0].spec, caches[0])
+        )
+        np.testing.assert_allclose(hist.sum(), 1.0, rtol=1e-6)
+
+
+class TestAnalysisCache:
+    def setup_debug(self, cfg, inner="heavy_hitter", C=24):
+        specs = build_cache_specs(
+            cfg,
+            {
+                "cache_strategy": [f"debug_{inner}"],
+                "max_cache_length": [C],
+                "prompt_compression_strategy": [
+                    "heavy_hitter" if inner == "heavy_hitter" else "recent_global"
+                ],
+                "global_tokens": 2,
+                "recent_window": 4,
+            },
+            max_seq_length=96,
+        )
+        return T.init_caches(cfg, specs, 1, jnp.float32)
+
+    def test_attention_loss_recorded(self, tiny_model):
+        cfg, params, rope = tiny_model
+        caches = self.setup_debug(cfg)
+        prompt = list(range(1, 41))
+        _, info, caches = generate(cfg, params, rope, caches, prompt, 16)
+        st = caches[0]
+        ctr = int(st.extra["attention_loss_ctr"])
+        assert ctr == 15  # decode-loop steps (first token comes from prefill)
+        losses = np.asarray(st.extra["attention_losses"][:ctr])
+        assert np.all(losses >= -1e-5) and np.all(losses <= 1.0)
+        # Shadow saturated at its budget while the outer kept everything.
+        assert int(st.extra["shadow"].cache_ct[0, 0]) == 24
+        # Prompt + 15 decode-loop insertions (the final generated token is
+        # never fed back into the cache, same as the reference loop).
+        assert int(st.cache_ct[0, 0]) == 40 + 15
+
+    def test_full_budget_shadow_has_no_loss(self, tiny_model):
+        """A shadow with budget >= sequence keeps everything: loss ~ 0."""
+        cfg, params, rope = tiny_model
+        caches = self.setup_debug(cfg, inner="recent_global", C=96)
+        prompt = list(range(1, 21))
+        _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
+        st = caches[0]
+        ctr = int(st.extra["attention_loss_ctr"])
+        losses = np.asarray(st.extra["attention_losses"][:ctr])
+        np.testing.assert_allclose(losses, 0.0, atol=1e-3)
+
+    def test_debug_registry_resolution(self):
+        cls = get_cache_strategy("debug_l2")
+        assert cls.name == "debug_l2"
+        assert cls.inner_strategy.name == "l2"
+        with pytest.raises(ValueError):
+            get_cache_strategy("debug_bogus")
