@@ -92,6 +92,9 @@ def main():
         max_seq_length=args.context,
     )
     caches = T.init_caches(cfg, specs, batch_size=1, dtype=jnp.bfloat16)
+    if T.is_stacked(caches):
+        params = T.stack_layer_params(params)
+        log("using stacked (scan-over-layers) execution")
 
     prompt_len = args.context - args.decode_tokens - 8
     rng = np.random.RandomState(0)

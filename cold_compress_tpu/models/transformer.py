@@ -326,8 +326,8 @@ def prefill(
     valid = jnp.broadcast_to(input_pos[None, :] < prompt_len, (B, P))
     freqs = rope[:P]
     x = _embed(params, tokens)
-    new_caches = []
-    for layer_params, cache in zip(params["layers"], caches):
+
+    def layer_fn(x, layer_params, cache):
         attn_out, cache = attention_prefill(
             cfg,
             layer_params["attn"],
@@ -339,11 +339,29 @@ def prefill(
             freqs,
             tokens=tokens,
         )
-        x = _block(cfg, layer_params, x, attn_out)
-        new_caches.append(cache)
+        return _block(cfg, layer_params, x, attn_out), cache
+
+    if is_stacked(caches):
+        # Homogeneous layers: scan instead of unrolling — ~n_layer x smaller
+        # XLA graph and compile time. (Callers should pre-stack params with
+        # ``stack_layer_params``; stacking here is an in-graph fallback.)
+        layers = stack_layer_params(params)["layers"]
+
+        def body(x, layer):
+            lp, cache = layer
+            x, cache = layer_fn(x, lp, cache)
+            return x, cache
+
+        x, new_caches = jax.lax.scan(body, x, (layers, caches))
+    else:
+        new_list = []
+        for layer_params, cache in zip(params["layers"], caches):
+            x, cache = layer_fn(x, layer_params, cache)
+            new_list.append(cache)
+        new_caches = tuple(new_list)
     last = x[jnp.arange(B), jnp.asarray(prompt_len, jnp.int32) - 1]  # [B, D]
     logits = _logits(cfg, params, last[:, None])[:, 0]  # [B, vocab] f32
-    return logits, tuple(new_caches)
+    return logits, new_caches
 
 
 def decode_step(
@@ -361,8 +379,8 @@ def decode_step(
         rope, input_pos, 1, axis=0
     )  # [1, hd//2, 2]
     x = _embed(params, token[:, None])  # [B, 1, D]
-    new_caches = []
-    for layer_params, cache in zip(params["layers"], caches):
+
+    def layer_fn(x, layer_params, cache):
         attn_out, cache = attention_decode(
             cfg,
             layer_params["attn"],
@@ -373,10 +391,25 @@ def decode_step(
             attn_top_k=attn_top_k,
             token=token,
         )
-        x = _block(cfg, layer_params, x, attn_out)
-        new_caches.append(cache)
+        return _block(cfg, layer_params, x, attn_out), cache
+
+    if is_stacked(caches):
+        layers = stack_layer_params(params)["layers"]
+
+        def body(x, layer):
+            lp, cache = layer
+            x, cache = layer_fn(x, lp, cache)
+            return x, cache
+
+        x, new_caches = jax.lax.scan(body, x, (layers, caches))
+    else:
+        new_list = []
+        for layer_params, cache in zip(params["layers"], caches):
+            x, cache = layer_fn(x, layer_params, cache)
+            new_list.append(cache)
+        new_caches = tuple(new_list)
     logits = _logits(cfg, params, x)[:, 0]
-    return logits, tuple(new_caches)
+    return logits, new_caches
 
 
 # --------------------------------------------------------------------------
@@ -384,13 +417,52 @@ def decode_step(
 # --------------------------------------------------------------------------
 
 
+def is_stacked(caches) -> bool:
+    """True when caches/params use the stacked (scan-over-layers) layout."""
+    return isinstance(caches, CacheState)
+
+
+def layer_cache(caches, i: int) -> CacheState:
+    """Per-layer cache view from either layout."""
+    if is_stacked(caches):
+        return jax.tree.map(lambda x: x[i], caches)
+    return caches[i]
+
+
 def init_caches(
     cfg: ModelConfig,
     specs,  # Sequence[CacheSpec], one per layer
     batch_size: int = 1,
     dtype=jnp.bfloat16,
-) -> Tuple[CacheState, ...]:
+    stacked: Optional[bool] = None,
+):
+    """Build per-layer cache states.
+
+    When all layers share one spec (the common case) and ``stacked`` is not
+    explicitly False, a single stacked ``CacheState`` with a leading layer
+    axis is returned and the model runs a ``lax.scan`` over layers — an
+    ~n_layer reduction in XLA graph size and compile time. Heterogeneous
+    specs (pyramid budgets, mixed strategies) fall back to a tuple of states
+    and an unrolled layer loop.
+    """
     assert len(specs) == cfg.n_layer
+    homogeneous = len(set(specs)) == 1
+    if stacked is None:
+        stacked = homogeneous
+    if stacked:
+        assert homogeneous, (
+            "Stacked caches require identical per-layer cache specs."
+        )
+        strategy = get_cache_strategy(specs[0].cache_strategy)
+        one = strategy.init(
+            specs[0], batch_size, cfg.n_kv_head, cfg.head_dim, dtype
+        )
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[None], (cfg.n_layer,) + x.shape
+            ).copy(),
+            one,
+        )
     caches = []
     for spec in specs:
         strategy = get_cache_strategy(spec.cache_strategy)
@@ -400,6 +472,17 @@ def init_caches(
             )
         )
     return tuple(caches)
+
+
+def stack_layer_params(params: Params) -> Params:
+    """Stack the per-layer parameter pytrees along a leading layer axis so
+    the forward pass can ``lax.scan`` over layers. No-op if already stacked.
+    """
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        return params
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
 
 
 def model_size_bytes(params: Params) -> int:

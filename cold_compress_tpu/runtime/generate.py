@@ -190,12 +190,17 @@ def generate(
     ``info`` carries perf stats (prefill/decode tok/s, seconds), the emitted
     token probabilities, and the final-step vocab distribution (logit tasks).
     """
+    from ..models.transformer import is_stacked
+
     prompt = list(map(int, prompt))
     prompt_length = len(prompt)
     terminator_ids = list(terminator_ids or [])
 
+    specs = (
+        [caches.spec] if is_stacked(caches) else [c.spec for c in caches]
+    )
     min_cache_length = min_cache_length or min(
-        c.spec.max_cache_length for c in caches
+        s.max_cache_length for s in specs
     )
     max_prompt_len = min_cache_length - 1
     prefix: List[int] = []
@@ -226,10 +231,10 @@ def generate(
     # Direct-fill caches (full / hybrid / debug_*) write all P padded slots,
     # so the padding bucket must not exceed their cache length.
     direct_fill = [
-        c.spec.max_cache_length
-        for c in caches
-        if c.spec.cache_strategy in ("full", "hybrid")
-        or c.spec.cache_strategy.startswith("debug_")
+        s.max_cache_length
+        for s in specs
+        if s.cache_strategy in ("full", "hybrid")
+        or s.cache_strategy.startswith("debug_")
     ]
     P = prefill_bucket or bucket_length(prompt_length)
     if direct_fill and P > min(direct_fill):
@@ -342,5 +347,8 @@ def _device_memory_gb() -> float:
 def reset_caches(caches):
     """Fresh cache states for a new example (reference: cache.py:229-239)."""
     from ..caches import reset_state
+    from ..models.transformer import is_stacked
 
+    if is_stacked(caches):
+        return reset_state(caches)
     return tuple(reset_state(c) for c in caches)

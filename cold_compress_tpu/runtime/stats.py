@@ -12,7 +12,20 @@ import jax.numpy as jnp
 from ..caches import cache_memory_gb, compression_ratio
 
 
+def unstack_caches(caches):
+    """Per-layer cache list from either layout (host-side views)."""
+    import jax
+
+    from ..models.transformer import is_stacked
+
+    if not is_stacked(caches):
+        return list(caches)
+    n_layer = jax.tree.leaves(caches)[0].shape[0]
+    return [jax.tree.map(lambda x: x[i], caches) for i in range(n_layer)]
+
+
 def get_cache_stats(caches, prompt_len: int, gen_len: int) -> Dict[str, Any]:
+    caches = unstack_caches(caches)
     stats: Dict[str, Any] = {}
     final_seq_len = prompt_len + gen_len
     avgs = defaultdict(list)

@@ -165,6 +165,8 @@ def run_task(
         cfg, vars(args), target_length, token_ids=token_ids
     )
     caches = T.init_caches(cfg, specs, batch_size=1)
+    if T.is_stacked(caches):
+        params = T.stack_layer_params(params)
     mcl = min_cache_length(specs)
 
     if args.profile:

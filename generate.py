@@ -88,6 +88,8 @@ def main(args) -> None:
         cfg, vars(args), max_seq_length, token_ids=token_ids
     )
     caches = T.init_caches(cfg, specs, batch_size=1)
+    if T.is_stacked(caches):
+        params = T.stack_layer_params(params)
 
     if args.profile:
         jax.profiler.start_trace(str(args.profile))

@@ -19,6 +19,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 
+@pytest.fixture()
+def L():
+    """Per-layer cache accessor working for stacked and tuple layouts."""
+    from cold_compress_tpu.models.transformer import layer_cache
+
+    return layer_cache
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg():
     from cold_compress_tpu.models.config import ModelConfig

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from cold_compress_tpu.models.transformer import layer_cache as LV
+
 from cold_compress_tpu.models import transformer as T
 from cold_compress_tpu.runtime.engine import (
     build_cache_specs,
@@ -142,7 +144,7 @@ def test_compressed_prompt_generation(tiny_model):
     prompt = list(range(1, 41))  # 40 > 16
     seq, info, caches = generate(cfg, params, rope, caches, prompt, 8)
     assert len(seq) == 48
-    assert int(caches[0].cache_ct[0, 0]) == 16  # saturated at budget
+    assert int(LV(caches, 0).cache_ct[0, 0]) == 16  # saturated at budget
 
 
 def test_heavy_hitter_end_to_end(tiny_model):
@@ -153,7 +155,7 @@ def test_heavy_hitter_end_to_end(tiny_model):
     prompt = list(range(1, 41))
     seq, info, caches = generate(cfg, params, rope, caches, prompt, 8)
     assert len(seq) == 48
-    assert int(caches[0].extra["attn_counter"]) > 0
+    assert int(LV(caches, 0).extra["attn_counter"]) > 0
 
 
 def test_build_cache_specs_patterns(tiny_cfg):

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from cold_compress_tpu.models.transformer import layer_cache as LV
+
 from cold_compress_tpu.caches import CacheSpec, get_cache_strategy
 from cold_compress_tpu.caches.hybrid import (
     HybridCache,
@@ -81,17 +83,17 @@ class TestHybrid:
         specs, caches = hybrid_setup(cfg, min_recovery=0.999)
         prompt = [256] + list(range(1, 52))
         _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
-        sidx = np.asarray(caches[0].extra["strategy_idx"])
+        sidx = np.asarray(LV(caches, 0).extra["strategy_idx"])
         assert np.all(sidx == 3)  # 'full' is menu index 3
         # Full keeps every prompt token + decoded tokens.
-        assert int(caches[0].cache_ct[0, 0]) >= 52
+        assert int(LV(caches, 0).cache_ct[0, 0]) >= 52
 
     def test_low_recovery_picks_most_compressive(self, tiny_model):
         cfg, params, rope = tiny_model
         specs, caches = hybrid_setup(cfg, min_recovery=0.01)
         prompt = [256] + list(range(1, 52))
         _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
-        sidx = np.asarray(caches[0].extra["strategy_idx"])
+        sidx = np.asarray(LV(caches, 0).extra["strategy_idx"])
         assert np.all(sidx == 0)  # first (most compressive) entry qualifies
 
     def test_budget_enforced_during_decode(self, tiny_model):
@@ -100,7 +102,7 @@ class TestHybrid:
         specs, caches = hybrid_setup(cfg, min_recovery=0.01, C=96)
         prompt = [256] + list(range(1, 40))
         _, info, caches = generate(cfg, params, rope, caches, prompt, 40)
-        st = caches[0]
+        st = LV(caches, 0)
         # window strategy budget: global(2) + round(0.1 * 96)=10
         assert int(st.cache_ct.max()) <= 12 + int(st.extra["num_punc"][0]) + int(
             st.extra["num_special"][0]
@@ -113,7 +115,7 @@ class TestHybrid:
         specs, caches = hybrid_setup(cfg, min_recovery=0.9)
         prompt = [256] + list(range(1, 60)) + [46]
         _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
-        ct = np.asarray(caches[0].cache_ct)
+        ct = np.asarray(LV(caches, 0).cache_ct)
         assert ct.min() > 0
 
     def test_strategy_histogram_sums_to_one(self, tiny_model):
@@ -122,7 +124,7 @@ class TestHybrid:
         prompt = [256] + list(range(1, 40))
         _, _, caches = generate(cfg, params, rope, caches, prompt, 4)
         hist = np.asarray(
-            HybridCache.strategy_histogram(caches[0].spec, caches[0])
+            HybridCache.strategy_histogram(LV(caches, 0).spec, LV(caches, 0))
         )
         np.testing.assert_allclose(hist.sum(), 1.0, rtol=1e-6)
 
@@ -149,7 +151,7 @@ class TestAnalysisCache:
         caches = self.setup_debug(cfg)
         prompt = list(range(1, 41))
         _, info, caches = generate(cfg, params, rope, caches, prompt, 16)
-        st = caches[0]
+        st = LV(caches, 0)
         ctr = int(st.extra["attention_loss_ctr"])
         assert ctr == 15  # decode-loop steps (first token comes from prefill)
         losses = np.asarray(st.extra["attention_losses"][:ctr])
@@ -166,7 +168,7 @@ class TestAnalysisCache:
         caches = self.setup_debug(cfg, inner="recent_global", C=96)
         prompt = list(range(1, 21))
         _, _, caches = generate(cfg, params, rope, caches, prompt, 8)
-        st = caches[0]
+        st = LV(caches, 0)
         ctr = int(st.extra["attention_loss_ctr"])
         losses = np.asarray(st.extra["attention_losses"][:ctr])
         np.testing.assert_allclose(losses, 0.0, atol=1e-3)

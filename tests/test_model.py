@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from cold_compress_tpu.models.transformer import layer_cache as LV
+
 from cold_compress_tpu.caches.base import CacheSpec
 from cold_compress_tpu.models import transformer as T
 from cold_compress_tpu.models.config import ModelConfig
@@ -67,8 +69,8 @@ def test_prefill_padding_invariance(tiny_model):
 
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-5)
     # Padded slots must be masked out and uncounted.
-    assert int(cb[0].cache_ct[0, 0]) == 10
-    assert not bool(cb[0].mask[0, 0, 10:].any())
+    assert int(LV(cb, 0).cache_ct[0, 0]) == 10
+    assert not bool(LV(cb, 0).mask[0, 0, 10:].any())
 
     # And decoding after the padded prefill matches the unpadded path.
     nxt = jnp.argmax(la, -1).astype(jnp.int32)
