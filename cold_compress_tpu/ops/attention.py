@@ -107,7 +107,7 @@ def prefill_attention(
     prompt_len: jax.Array,  # scalar int32
     need_summary: bool = False,
     obs_len: int = 16,
-    chunk_size: int = 1024,
+    chunk_size: int = 256,
 ) -> Tuple[jax.Array, Optional[AttnSummary]]:
     """Full causal self-attention over a (padded) prompt.
 
@@ -175,7 +175,7 @@ def _chunked_prefill(
             probs.astype(jnp.bfloat16),
             vf,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.bfloat16)
         if need_summary:
             pooled = probs.mean(axis=2)  # [B, KVH, chunk, P]
             q_valid = (q_pos < prompt_len).astype(jnp.float32)  # [chunk]

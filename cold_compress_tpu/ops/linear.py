@@ -43,28 +43,27 @@ def is_quantized(x) -> bool:
 
 
 def unpack_int4(packed: jax.Array, axis: int = 0) -> jax.Array:
-    """Unpack two 4-bit values per byte along ``axis`` (low nibble first).
+    """Unpack two 4-bit values per byte along ``axis``, half-split layout:
+    low nibbles hold rows [0, n), high nibbles rows [n, 2n). This layout
+    lets the Pallas dequant-matmul kernel unpack with a concatenate instead
+    of a sublane interleave (ops/pallas_qmm.py).
 
-    Values are unsigned in [0, 15] stored in an int8/uint8 carrier.
+    Values are unsigned in [0, 15] stored in a uint8 carrier.
     """
     p = packed.astype(jnp.uint8)
-    lo = (p & 0x0F).astype(jnp.int8)
-    hi = ((p >> 4) & 0x0F).astype(jnp.int8)
-    stacked = jnp.stack([lo, hi], axis=axis + 1)
-    new_shape = list(packed.shape)
-    new_shape[axis] = new_shape[axis] * 2
-    return stacked.reshape(new_shape)
+    lo = (p & 0x0F).astype(jnp.uint8)
+    hi = ((p >> 4) & 0x0F).astype(jnp.uint8)
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 def pack_int4(vals: jax.Array, axis: int = 0) -> jax.Array:
-    """Pack pairs of 4-bit values (in [0,15]) into bytes along ``axis``."""
-    shape = list(vals.shape)
-    assert shape[axis] % 2 == 0
-    shape[axis] //= 2
-    pair_shape = shape[: axis + 1] + [2] + shape[axis + 1 :]
-    v = vals.astype(jnp.uint8).reshape(pair_shape)
-    lo = jnp.take(v, 0, axis=axis + 1)
-    hi = jnp.take(v, 1, axis=axis + 1)
+    """Pack 4-bit values (in [0,15]) into bytes along ``axis``: byte r holds
+    row r (low nibble) and row r + n/2 (high nibble)."""
+    n = vals.shape[axis]
+    assert n % 2 == 0
+    v = vals.astype(jnp.uint8)
+    lo = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
+    hi = jax.lax.slice_in_dim(v, n // 2, n, axis=axis)
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
@@ -89,12 +88,62 @@ def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
     raise ValueError(f"Unknown quantized weight kind: {w_leaf.kind}")
 
 
+def w8a8_matmul(x2: jax.Array, w_leaf: QuantizedWeight) -> jax.Array:
+    """Native int8 MXU matmul with dynamic per-row activation quantization.
+
+    Weights stay int8 in HBM and feed the MXU directly (no per-element
+    dequant — the dequant scales fold into the f32 epilogue), which is the
+    only way to run at HBM speed: VPU-side casting of every weight element
+    caps out far below memory bandwidth.
+    """
+    absmax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(
+        jnp.int8
+    )
+    # Keep the int8 dot un-fused from its prologue/epilogue: letting XLA fuse
+    # the dynamic quantization into the dot demotes it off the MXU int8 path
+    # (measured 15-30x slower without the barriers).
+    xq = jax.lax.optimization_barrier(xq)
+    acc = jax.lax.dot_general(
+        xq,
+        w_leaf.w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc = jax.lax.optimization_barrier(acc)
+    return acc.astype(jnp.float32) * sx * w_leaf.scales[None, :]
+
+
 def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
     """Compute ``x @ w (+ bias)`` for a dense or quantized weight leaf.
 
-    x: [..., in]; returns [..., out].
+    x: [..., in]; returns [..., out]. On TPU, int8 weights use the native
+    int8 MXU with dynamic activation quantization; int4 decode-sized
+    activations use the fused Pallas dequant-matmul kernel
+    (ops/pallas_qmm.py). Neither materializes dequantized weights in HBM.
     """
     if is_quantized(w_leaf):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        on_tpu = jax.default_backend() == "tpu"
+        if w_leaf.kind == "int8" and on_tpu:
+            y = w8a8_matmul(x2, w_leaf)
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        from .pallas_qmm import qmm_int4, qmm_supported
+
+        if w_leaf.kind == "int4" and qmm_supported(x2.shape, w_leaf):
+            y = qmm_int4(
+                x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
+                group_size=w_leaf.group_size,
+            )
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         w = dequantize_weight(w_leaf, dtype=x.dtype)
     else:
         w = w_leaf

@@ -191,3 +191,30 @@ class TestGPTQ:
             tiny_cfg, qparams, rope, caches, jnp.array([[1, 2, 3]]), 3
         )
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_w8a8_matmul_close_to_dequant():
+    """Dynamic-activation int8 matmul (the TPU MXU path) must track the
+    dequantized reference within dynamic-quantization error."""
+    from cold_compress_tpu.ops.linear import w8a8_matmul
+
+    key = jax.random.PRNGKey(7)
+    w = jax.random.normal(key, (256, 128)) * 0.05
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 256))
+    qw = quantize_weight_int8(w)
+    ref = np.asarray(x @ dequantize_weight(qw, jnp.float32))
+    got = np.asarray(w8a8_matmul(x, qw))
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.02
+
+
+def test_half_split_pack_layout():
+    """pack_int4 byte r must hold row r (low nibble) and row r + n/2 (high),
+    the layout the Pallas kernel depends on."""
+    vals = jnp.arange(16, dtype=jnp.uint8).reshape(8, 2) % 16
+    packed = pack_int4(vals, axis=0)
+    assert packed.shape == (4, 2)
+    lo = np.asarray(packed) & 0x0F
+    hi = (np.asarray(packed) >> 4) & 0x0F
+    np.testing.assert_array_equal(lo, np.asarray(vals[:4]))
+    np.testing.assert_array_equal(hi, np.asarray(vals[4:]))
