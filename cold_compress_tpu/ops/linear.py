@@ -101,9 +101,10 @@ def w8a8_matmul(x2: jax.Array, w_leaf: QuantizedWeight) -> jax.Array:
     xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(
         jnp.int8
     )
-    # Keep the int8 dot un-fused from its prologue/epilogue: letting XLA fuse
-    # the dynamic quantization into the dot demotes it off the MXU int8 path
-    # (measured 15-30x slower without the barriers).
+    # Keep the int8 dot un-fused from its prologue and epilogue — letting
+    # XLA fuse the dynamic quantization into the dot demotes it off the MXU
+    # int8 path (measured 15-30x slower), and the big fused int8 graphs have
+    # wedged this backend outright.
     xq = jax.lax.optimization_barrier(xq)
     acc = jax.lax.dot_general(
         xq,
@@ -127,14 +128,32 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
-        if w_leaf.kind == "int8" and on_tpu:
+        # Decode-sized rows only: at prefill sizes the barriers would
+        # materialize [P, out] int32/f32 intermediates, so large-L int8
+        # matmuls take the per-layer dequant path below (transient bf16
+        # weights for one layer at a time under the layer scan).
+        if w_leaf.kind == "int8" and on_tpu and x2.shape[0] <= 32:
             y = w8a8_matmul(x2, w_leaf)
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
-        from .pallas_qmm import qmm_int4, qmm_supported
+        from .pallas_qmm import (
+            qmm_int4,
+            qmm_supported,
+            qmm_w4a8,
+            w4a8_supported,
+        )
 
+        if w_leaf.kind == "int4" and w4a8_supported(x2.shape, w_leaf):
+            y = qmm_w4a8(
+                x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
+                group_size=w_leaf.group_size,
+            )
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         if w_leaf.kind == "int4" and qmm_supported(x2.shape, w_leaf):
             y = qmm_int4(
                 x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,

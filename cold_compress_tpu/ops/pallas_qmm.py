@@ -187,8 +187,99 @@ def qmm_int8(x, w, scales):
     ]
 
 
+def _w4a8_kernel(xq_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *, group_size):
+    """int4 weights on the int8 MXU (W4A8).
+
+    One grid step per output tile: loop over quantization groups, unpack one
+    group's packed bytes (small int32 intermediates), and issue a native
+    int8 x int8 -> int32 MXU dot per (group, nibble-half). The affine
+    epilogue uses
+        y_g = s_g * (xq . q) + (z_g - 8 s_g) * rowsum(xq)
+    so scales/zeros never touch full weight tiles, and all slicing indices
+    are static. Grid-step count stays tiny (per-step overhead on this
+    backend is ~5us, so many small steps dominate runtime).
+    """
+    INh, TO = w_ref.shape
+    ngh = INh // group_size
+    L = xq_ref.shape[0]
+    acc = jnp.zeros((L, TO), jnp.float32)
+    for g in range(ngh):
+        pk = w_ref[g * group_size : (g + 1) * group_size, :].astype(jnp.int32)
+        for qv, gidx, col0 in (
+            ((pk & 0x0F), g, g * group_size),
+            (((pk >> 4) & 0x0F), ngh + g, INh + g * group_size),
+        ):
+            q = qv.astype(jnp.int8)
+            xg = xq_ref[:, col0 : col0 + group_size]
+            dot = jnp.dot(xg, q, preferred_element_type=jnp.int32).astype(
+                jnp.float32
+            )
+            sg = s_ref[gidx]
+            zg = z_ref[gidx]
+            rs = xs_ref[gidx]
+            acc += dot * sg[None, :] + rs[:, None] * (zg - 8.0 * sg)[None, :]
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def qmm_w4a8(x, w_packed, scales, zeros, group_size: int = 128):
+    """x [L, IN] @ int4-packed weights via the int8 MXU.
+
+    Activation rows are dynamically quantized to int8 (per-row scale,
+    absorbed in the epilogue outside the kernel).
+    """
+    x, true_L = _pad_rows(x)
+    L, IN = x.shape
+    INh = IN // 2
+    OUT = w_packed.shape[1]
+    n_groups_total = IN // group_size
+    # Output tile bounded by VMEM: packed block INh x TO u8 (double-buffered).
+    TO = 256 if (INh * 256 <= 2 << 20 and OUT % 256 == 0) else 128
+
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xq = jax.lax.optimization_barrier(xq)
+    xs = jnp.sum(
+        xq.reshape(L, n_groups_total, group_size).astype(jnp.float32), axis=-1
+    ).T  # [n_groups_total, L]
+
+    kernel = functools.partial(_w4a8_kernel, group_size=group_size)
+    y = pl.pallas_call(
+        kernel,
+        grid=(OUT // TO,),
+        in_specs=[
+            pl.BlockSpec((L, IN), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_groups_total, L), lambda j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((INh, TO), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_groups_total, TO), lambda j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_groups_total, TO), lambda j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, TO), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, OUT), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * IN * OUT,
+            bytes_accessed=IN * OUT // 2 + L * IN + L * OUT * 4,
+            transcendentals=0,
+        ),
+    )(xq, xs, w_packed, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    return (y * sx)[:true_L]
+
+
 def qmm_supported(x_2d_shape, w_leaf) -> bool:
-    """Shape/backend gate for the fused kernel (decode-sized activations)."""
+    """Shape/backend gate for the VPU-dequant fused kernel (decode sizes)."""
     if jax.default_backend() != "tpu":
         return False
     L, IN = x_2d_shape
@@ -198,3 +289,22 @@ def qmm_supported(x_2d_shape, w_leaf) -> bool:
     if w_leaf.kind == "int4" and IN % w_leaf.group_size != 0:
         return False
     return IN % 128 == 0 and OUT % 128 == 0
+
+
+def w4a8_supported(x_2d_shape, w_leaf) -> bool:
+    """Gate for the int8-MXU int4 kernel: group blocks must be 8-aligned and
+    the tile set must fit the compiler's VMEM budget (very wide outputs such
+    as the 128k-vocab head take the XLA dequant path instead)."""
+    if jax.default_backend() != "tpu":
+        return False
+    L, IN = x_2d_shape
+    OUT = w_leaf.w.shape[1]
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and L <= 32
+        and IN % 256 == 0
+        and OUT % 128 == 0
+        and OUT <= 32768
+        and (IN // 2) % (8 * gs) == 0
+    )

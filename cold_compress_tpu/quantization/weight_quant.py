@@ -76,24 +76,34 @@ def quantize_params(
     mode: str = "int8",
     group_size: int = 128,
     quantize_output: bool = True,
+    output_mode: str = "int8",
 ):
     """Quantize all linear weights in a params pytree
     (reference: quantize.py:347-368,468-529 — handlers walk nn.Linears; here
-    we walk the pytree)."""
+    we walk the pytree).
 
-    def qz(w):
+    The vocabulary head defaults to int8 even in int4 mode: logits are always
+    computed for a single position, where the native int8 MXU path runs at
+    memory speed, while an int4 head that wide would fall back to
+    materializing dequantized weights every step.
+    """
+
+    def qz(w, m=None):
+        m = m or mode
         if w is None or isinstance(w, QuantizedWeight):
             return w
-        if mode == "int8":
+        if m == "int8":
             return quantize_weight_int8(w)
-        if mode == "int4":
+        if m == "int4":
             return quantize_weight_int4(w, group_size)
-        raise ValueError(f"Unknown quantization mode: {mode}")
+        raise ValueError(f"Unknown quantization mode: {m}")
 
     out = {
         "tok_embeddings": params["tok_embeddings"],  # embeddings stay bf16
         "norm": params["norm"],
-        "output": qz(params["output"]) if quantize_output else params["output"],
+        "output": qz(params["output"], output_mode)
+        if quantize_output
+        else params["output"],
         "layers": [],
     }
     for lp in params["layers"]:
@@ -179,9 +189,23 @@ def random_quantized_params(
     emb = (
         rng.standard_normal((cfg.vocab_size, D)).astype(np.float32) * 0.02
     ).astype(np.float16)
+
+    def rand_q8(in_dim, out_dim):
+        return QuantizedWeight(
+            w=jnp.asarray(
+                rng.randint(-127, 128, (in_dim, out_dim), dtype=np.int8)
+            ),
+            scales=jnp.full((out_dim,), 0.02 / 127, jnp.float32),
+            kind="int8",
+        )
+
     return {
         "tok_embeddings": jnp.asarray(emb, dtype),
         "layers": layers,
         "norm": jnp.ones((D,), dtype),
-        "output": None if cfg.tie_word_embeddings else rand_q(D, cfg.vocab_size),
+        # Vocab head in int8 (see quantize_params): single-position logits
+        # ride the native int8 MXU path at any weight mode.
+        "output": None
+        if cfg.tie_word_embeddings
+        else rand_q8(D, cfg.vocab_size),
     }

@@ -18,6 +18,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import transformer as T
 from ..models.config import ModelConfig
@@ -63,7 +64,18 @@ def sample(
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("caches",))
 def _prefill_jit(cfg, params, rope, caches, tokens, prompt_len):
     logits, caches = T.prefill(cfg, params, rope, caches, tokens, prompt_len)
-    return logits, caches
+    # Fold the greedy pick + probabilities into the compiled program: on some
+    # backends (the axon tunnel) tiny eager follow-up ops are fragile, and
+    # they cost a dispatch each regardless.
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), probs, caches
+
+
+@partial(jax.jit, donate_argnames=("caches",))
+def _reset_jit(caches):
+    from ..caches import reset_state
+
+    return reset_state(caches)
 
 
 @partial(
@@ -247,30 +259,26 @@ def generate(
     tokens = jnp.asarray([padded], dtype=jnp.int32)
 
     t0 = time.perf_counter()
-    logits, caches = _prefill_jit(
+    greedy_tok, prefill_probs, caches = _prefill_jit(
         cfg, params, rope, caches, tokens, jnp.int32(prompt_length)
     )
-    logits = jax.block_until_ready(logits)
+    prefill_probs = np.asarray(jax.block_until_ready(prefill_probs))
     t1 = time.perf_counter()
 
-    prefill_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if forced_first is not None:
         first_token = jnp.asarray([forced_first], jnp.int32)
     else:
-        first_token = greedy(logits)
+        first_token = greedy_tok
     first_prob = float(prefill_probs[0, int(first_token[0])])
 
     # ---- decode loop -----------------------------------------------------
     max_steps = max(max_new_tokens - 1, 0)
-    prefix_arr = jnp.full((max(max_steps, 1),), -1, jnp.int32)
+    prefix_np = np.full((max(max_steps, 1),), -1, np.int32)
     if prefix:
-        prefix_arr = prefix_arr.at[: len(prefix)].set(
-            jnp.asarray(prefix[: max_steps], jnp.int32)
-        )
-    term_arr = (
-        jnp.asarray(terminator_ids, jnp.int32)
-        if terminator_ids
-        else jnp.asarray([-7], jnp.int32)
+        prefix_np[: len(prefix[:max_steps])] = prefix[:max_steps]
+    prefix_arr = jnp.asarray(prefix_np)
+    term_arr = jnp.asarray(
+        terminator_ids if terminator_ids else [-7], jnp.int32
     )
 
     if max_steps > 0:
@@ -286,17 +294,18 @@ def generate(
             max_steps,
             attn_top_k,
         )
-        tokens_buf = jax.block_until_ready(tokens_buf)
+        tokens_buf = np.asarray(jax.block_until_ready(tokens_buf))
         t2 = time.perf_counter()
         gen = [int(t) for t in tokens_buf[:, 0] if int(t) != -1]
         n_steps = int(n_steps)
+        probs_np = np.asarray(probs_buf)
         emitted_probs = [first_prob] + [
-            float(p) for p in probs_buf[:n_steps, 0]
+            float(p) for p in probs_np[:n_steps, 0]
         ]
-        last_probs = last_probs[0]
+        last_probs = np.asarray(last_probs)[0]
     else:
         t2 = t1
-        gen = [int(first_token[0])]
+        gen = [int(np.asarray(first_token)[0])]
         n_steps = 0
         emitted_probs = [first_prob]
         last_probs = prefill_probs[0]
@@ -345,10 +354,12 @@ def _device_memory_gb() -> float:
 
 
 def reset_caches(caches):
-    """Fresh cache states for a new example (reference: cache.py:229-239)."""
-    from ..caches import reset_state
+    """Fresh cache states for a new example (reference: cache.py:229-239).
+
+    Runs as a compiled program with donated buffers (in-place zeroing).
+    """
     from ..models.transformer import is_stacked
 
     if is_stacked(caches):
-        return reset_state(caches)
-    return tuple(reset_state(c) for c in caches)
+        return _reset_jit(caches)
+    return tuple(_reset_jit(c) for c in caches)

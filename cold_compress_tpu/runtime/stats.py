@@ -7,9 +7,9 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Any, Dict, Sequence
 
-import jax.numpy as jnp
+import numpy as np
 
-from ..caches import cache_memory_gb, compression_ratio
+from ..caches import cache_memory_gb
 
 
 def unstack_caches(caches):
@@ -31,17 +31,24 @@ def get_cache_stats(caches, prompt_len: int, gen_len: int) -> Dict[str, Any]:
     avgs = defaultdict(list)
     mem_total = 0.0
     for layer_idx, cache in enumerate(caches):
+        # Host-side numpy (reference semantics: cache.py:271-281) — avoids
+        # per-layer eager device programs during eval loops.
+        n = max(final_seq_len - 1, 1)
+        size = np.asarray(cache.cache_ct).astype(np.float64)
+        if cache.spec.cache_bits is not None:
+            size = size * (cache.spec.cache_bits / 16.0)
         layer_stats = {
-            "compression_ratio": float(
-                compression_ratio(cache, jnp.int32(final_seq_len))
-            ),
+            "compression_ratio": float(np.mean((n - size) / n)),
         }
         extra_stats = getattr(cache, "extra", None) or {}
         if "attention_losses" in extra_stats:
-            losses = extra_stats["attention_losses"]
+            losses = np.asarray(extra_stats["attention_losses"])
             ctr = int(extra_stats["attention_loss_ctr"])
             if ctr > 0:
                 layer_stats["attention_loss"] = float(losses[:ctr].mean())
+        if "strategy_idx" in extra_stats:
+            sidx = np.asarray(extra_stats["strategy_idx"])
+            layer_stats["avg_strategy_idx"] = float(sidx.mean())
         mem_total += cache_memory_gb(cache)
         for k, v in layer_stats.items():
             stats[f"{k}_{layer_idx}"] = v
