@@ -142,20 +142,28 @@ def random_quantized_params(
         cfg.intermediate_size,
     )
 
+    def rand_bytes(shape, dtype):
+        # rng.bytes is ~20x faster than rng.randint for multi-GB buffers.
+        n = int(np.prod(shape))
+        return np.frombuffer(rng.bytes(n), dtype=np.uint8).astype(
+            dtype, copy=False
+        ).reshape(shape)
+
     def rand_q(in_dim, out_dim):
         if mode == "int8":
             return QuantizedWeight(
                 w=jnp.asarray(
-                    rng.randint(-127, 128, (in_dim, out_dim), dtype=np.int8)
+                    (rand_bytes((in_dim, out_dim), np.uint8) % 255).astype(
+                        np.int8
+                    )
+                    - 127
                 ),
                 scales=jnp.full((out_dim,), 0.02 / 127, jnp.float32),
                 kind="int8",
             )
         assert mode == "int4"
         return QuantizedWeight(
-            w=jnp.asarray(
-                rng.randint(0, 256, (in_dim // 2, out_dim), dtype=np.uint8)
-            ),
+            w=jnp.asarray(rand_bytes((in_dim // 2, out_dim), np.uint8)),
             scales=jnp.full(
                 (in_dim // group_size, out_dim), 0.02 / 8, jnp.float32
             ),
@@ -193,7 +201,8 @@ def random_quantized_params(
     def rand_q8(in_dim, out_dim):
         return QuantizedWeight(
             w=jnp.asarray(
-                rng.randint(-127, 128, (in_dim, out_dim), dtype=np.int8)
+                (rand_bytes((in_dim, out_dim), np.uint8) % 255).astype(np.int8)
+                - 127
             ),
             scales=jnp.full((out_dim,), 0.02 / 127, jnp.float32),
             kind="int8",
