@@ -92,7 +92,11 @@ def main(args) -> None:
         params = T.stack_layer_params(params)
 
     if args.profile:
-        jax.profiler.start_trace(str(args.profile))
+        try:
+            jax.profiler.start_trace(str(args.profile))
+        except Exception as e:
+            print(f"Profiling unavailable on this backend: {e}")
+            args.profile = None
 
     seq, info, caches = generate(
         cfg,
