@@ -19,6 +19,7 @@ import argparse
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -151,4 +152,13 @@ def _bucket(n: int) -> int:
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally throws transient ResourceExhausted /
+    # kernel-fault errors; one retry protects the recorded benchmark.
+    try:
+        main()
+    except Exception:
+        traceback.print_exc()
+        print("bench: transient backend failure, retrying once...",
+              file=sys.stderr)
+        time.sleep(30)
+        main()

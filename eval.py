@@ -172,7 +172,11 @@ def run_task(
     if args.profile:
         import jax
 
-        jax.profiler.start_trace(str(args.profile))
+        try:
+            jax.profiler.start_trace(str(args.profile))
+        except Exception as e:
+            print(f"Profiling unavailable on this backend: {e}")
+            args.profile = None
 
     for i, input_ids in enumerate(inputs):
         next_tokens = None if label_ids is None else label_ids[i]
