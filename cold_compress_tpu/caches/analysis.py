@@ -87,6 +87,15 @@ def make_analysis_strategy(inner_name: str):
             extra["attention_loss_ctr"] = jnp.zeros((), jnp.int32)
             return state.replace(extra=extra)
 
+        @classmethod
+        def reset_extra(cls, spec, extra):
+            """Restore the -1 "unwritten" sentinel in the loss buffer on
+            reset (zeros would read as real losses)."""
+            extra["attention_losses"] = jnp.full_like(
+                extra["attention_losses"], -1.0
+            )
+            return extra
+
         # ---- decode -------------------------------------------------------
 
         @classmethod

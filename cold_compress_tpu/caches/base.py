@@ -206,15 +206,46 @@ def init_state(
 
 
 def reset_state(state: CacheState) -> CacheState:
-    """Fresh state for a new example (reference: cache.py:229-239)."""
-    return jax.tree.map(jnp.zeros_like, state).replace(
+    """Fresh state for a new example (reference: cache.py:229-239).
+
+    Recurses into nested ``CacheState`` values inside ``extra`` (the analysis
+    cache's shadow cache) so their empty-slot sentinels (pos=-1,
+    scales=1e-6) are restored as well, and gives the owning strategy a
+    ``reset_extra`` hook for non-zero extra defaults.
+    """
+    is_cs = lambda x: isinstance(x, CacheState)  # noqa: E731
+    extra = {
+        key: jax.tree.map(
+            lambda x: reset_state(x) if is_cs(x) else jnp.zeros_like(x),
+            val,
+            is_leaf=is_cs,
+        )
+        for key, val in state.extra.items()
+    }
+    try:
+        from . import get_cache_strategy
+
+        strategy = get_cache_strategy(state.spec.cache_strategy)
+    except (ValueError, ImportError):
+        strategy = None
+    if strategy is not None and hasattr(strategy, "reset_extra"):
+        extra = strategy.reset_extra(state.spec, extra)
+    return CacheState(
+        k=jnp.zeros_like(state.k),
+        v=jnp.zeros_like(state.v),
         pos=jnp.full_like(state.pos, -1),
+        mask=jnp.zeros_like(state.mask),
+        cache_ct=jnp.zeros_like(state.cache_ct),
         k_scales=None
         if state.k_scales is None
         else jnp.full_like(state.k_scales, 1e-6),
+        k_zeros=None if state.k_zeros is None else jnp.zeros_like(state.k_zeros),
         v_scales=None
         if state.v_scales is None
         else jnp.full_like(state.v_scales, 1e-6),
+        v_zeros=None if state.v_zeros is None else jnp.zeros_like(state.v_zeros),
+        extra=extra,
+        spec=state.spec,
     )
 
 

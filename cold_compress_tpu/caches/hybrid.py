@@ -349,14 +349,42 @@ class HybridCache(HeavyHitterCache):
         score = jnp.where(save, jnp.inf, score)
         evict_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)
 
+        # If every filled slot is protected (global+special+punc+window cover
+        # all of cache_ct), argmin over all-inf scores would return slot 0 and
+        # silently overwrite a global token — drop the incoming token instead
+        # (ADVICE r1).
+        protected_all = jnp.all(jnp.isinf(score), axis=-1)
+        drop = jnp.logical_or(
+            no_insert, jnp.logical_and(evict, protected_all)
+        )
+        evict = jnp.logical_and(evict, ~protected_all)
+
         fill_idx = jnp.where(
-            no_insert, C - 1, jnp.where(evict, evict_idx, append_idx)
+            drop, C - 1, jnp.where(evict, evict_idx, append_idx)
         )
 
         # ---- apply ---------------------------------------------------------
+        # Dropping heads must leave the cache byte-identical (slot C-1 may
+        # hold a real row once a head reaches full occupancy), so keep the
+        # pre-scatter buffers and revert them per head.
+        old_k, old_v = state.k, state.v
+        old_q = (state.k_scales, state.k_zeros, state.v_scales, state.v_zeros)
         state = store_kv_rows(state, fill_idx, k[:, :, 0], v[:, :, 0])
+        sel_row = drop[..., None, None]
+        sel_scl = drop[..., None]
+        revert = dict(
+            k=jnp.where(sel_row, old_k, state.k),
+            v=jnp.where(sel_row, old_v, state.v),
+        )
+        if state.k_scales is not None:
+            revert.update(
+                k_scales=jnp.where(sel_scl, old_q[0], state.k_scales),
+                k_zeros=jnp.where(sel_scl, old_q[1], state.k_zeros),
+                v_scales=jnp.where(sel_scl, old_q[2], state.v_scales),
+                v_zeros=jnp.where(sel_scl, old_q[3], state.v_zeros),
+            )
         new_pos = jnp.where(
-            no_insert,
+            drop,
             gather_scalar(state.pos, fill_idx),
             jnp.asarray(input_pos, jnp.int32),
         )
@@ -365,11 +393,13 @@ class HybridCache(HeavyHitterCache):
             mask=scatter_scalar(
                 state.mask,
                 fill_idx,
-                jnp.where(
-                    no_insert, gather_scalar(state.mask, fill_idx), True
-                ),
+                jnp.where(drop, gather_scalar(state.mask, fill_idx), True),
             ),
-            cache_ct=ct + append.astype(jnp.int32),
+            # Clamp at C: once an always-append head reuses slot C-1 the
+            # occupancy no longer grows (ADVICE r1 — unclamped counts skewed
+            # budget checks and compression stats).
+            cache_ct=jnp.minimum(ct + append.astype(jnp.int32), C),
+            **revert,
         )
 
         new_extra = dict(state.extra)
@@ -510,7 +540,14 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
     kf = k.astype(jnp.bfloat16)
     chunk = min(chunk_size, P)
     n_chunks = -(-P // chunk)
-    assert n_chunks * chunk == P, "prefill bucket must be chunk-aligned"
+    if n_chunks * chunk != P:
+        # Pad the query axis to a chunk multiple (a full-length hybrid cache
+        # can have any multiple-of-8 length, e.g. max_seq_length 5000). Pad
+        # queries have q_pos >= P >= prompt_len, so q_valid zeroes their
+        # contribution; keys are not padded.
+        qg = jnp.pad(
+            qg, [(0, 0), (0, 0), (0, 0), (0, n_chunks * chunk - P), (0, 0)]
+        )
 
     # First pass: cum_attn (query-averaged column mass).
     # Second use: per-strategy scores need cum_attn for heavy-hitter column

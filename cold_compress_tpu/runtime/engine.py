@@ -16,7 +16,10 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
+
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 from ..caches import CacheSpec, get_cache_strategy
 from ..ops.linear import QuantizedWeight
@@ -169,7 +172,13 @@ def _flatten(params, prefix=""):
     elif params is None:
         flat[prefix[:-1] + "#none"] = np.zeros((0,))
     else:
-        flat[prefix[:-1]] = np.asarray(params)
+        arr = np.asarray(params)
+        if arr.dtype == _BF16:
+            # npz round-trips bf16 only as raw void bytes; store a uint16
+            # view under a tagged key so load restores the dtype.
+            flat[prefix[:-1] + "#bf16"] = arr.view(np.uint16)
+        else:
+            flat[prefix[:-1]] = arr
     return flat
 
 
@@ -187,7 +196,11 @@ def load_params(path: str, dtype=None):
     tree: Dict[str, Any] = {}
     for key in data.files:
         is_none = key.endswith("#none")
-        parts = (key[: -len("#none")] if is_none else key).split("/")
+        is_bf16 = key.endswith("#bf16")
+        base = key[: -len("#none")] if is_none else (
+            key[: -len("#bf16")] if is_bf16 else key
+        )
+        parts = base.split("/")
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
@@ -195,10 +208,14 @@ def load_params(path: str, dtype=None):
             node[parts[-1]] = None
         else:
             arr = data[key]
+            if is_bf16:
+                arr = arr.view(_BF16)
             if arr.ndim == 0 and arr.dtype.kind in "iu":
                 node[parts[-1]] = int(arr)
             else:
-                if dtype is not None and arr.dtype.kind == "f":
+                if dtype is not None and (
+                    arr.dtype.kind == "f" or arr.dtype == _BF16
+                ):
                     arr = arr.astype(dtype)
                 node[parts[-1]] = jnp.asarray(arr)
         # 'kind' for quantized leaves is stored as bytes; handled below.

@@ -20,6 +20,7 @@ import shutil
 import sys
 from pathlib import Path
 
+import ml_dtypes
 import numpy as np
 
 sys.path.append(str(Path(__file__).parent.parent.resolve()))
@@ -177,7 +178,10 @@ def convert_hf_checkpoint(checkpoint_dir: Path, model_name=None) -> Path:
             name = (
                 target.format(layer_num) if layer_num is not None else target
             )
-        flat[name] = arr.astype(np.float16)  # compact storage; bf16 at load
+        # Compact lossless storage: bf16 matches both the checkpoint source
+        # dtype and load/compute precision. (float16 here would clip bf16
+        # outliers >65504 to inf and flush subnormals — ADVICE r1.)
+        flat[name] = arr.astype(ml_dtypes.bfloat16)
 
     # Tied-embedding fallback (reference: convert_hf_checkpoint.py:156-160).
     tied = "output" not in flat

@@ -236,6 +236,24 @@ class TestPrefillPath:
         assert np.all(np.asarray(state2.pos) == -1)
         assert not np.any(np.asarray(state2.mask))
 
+    def test_reset_recurses_into_analysis_shadow(self):
+        # Regression (ADVICE r1): reset must restore the shadow cache's
+        # pos=-1 / scales=1e-6 sentinels and the -1 loss-buffer sentinel,
+        # not tree-zero them.
+        cls, state = make(
+            "debug_heavy_hitter", C=8, global_tokens=1, cache_bits=8
+        )
+        state = fill_n(cls, state, 4)
+        shadow = state.extra["shadow"]
+        assert int(shadow.cache_ct.sum()) > 0
+        state2 = reset_state(state)
+        shadow2 = state2.extra["shadow"]
+        assert np.all(np.asarray(shadow2.pos) == -1)
+        assert int(shadow2.cache_ct.sum()) == 0
+        np.testing.assert_allclose(np.asarray(shadow2.k_scales), 1e-6)
+        assert np.all(np.asarray(state2.extra["attention_losses"]) == -1.0)
+        assert int(state2.extra["attention_loss_ctr"]) == 0
+
     def test_decode_fills_empty_slots_first(self):
         cls, state = make("recent_global", C=8, global_tokens=1)
         P = 4
