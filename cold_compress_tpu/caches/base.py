@@ -285,6 +285,14 @@ def gather_scalar(arr: jax.Array, idx: jax.Array) -> jax.Array:
     return arr[b, h, idx]
 
 
+def input_pos_b11(input_pos, B: int) -> jax.Array:
+    """Normalize a decode position (scalar or per-lane [B]) to [B, 1, 1] so
+    comparisons against ``pos`` [B, H, C] broadcast per lane."""
+    return jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(input_pos, jnp.int32)), (B,)
+    )[:, None, None]
+
+
 def protect_and_prefer_empty(
     scores: jax.Array, state: CacheState
 ) -> jax.Array:
@@ -451,14 +459,16 @@ class CacheStrategy:
         ``decode_update``.
         """
         spec = state.spec
-        idx, state = cls.eviction_idx(spec, state, input_pos)
+        B, H = state.cache_ct.shape
+        ipos = input_pos_b11(input_pos, B)  # [B,1,1]
+        idx, state = cls.eviction_idx(spec, state, ipos)
         inserted = (gather_scalar(state.pos, idx) == -1).astype(jnp.int32)
         k_row = k[:, :, 0]
         v_row = v[:, :, 0]
         state = store_kv_rows(state, idx, k_row, v_row)
         state = state.replace(
             pos=scatter_scalar(
-                state.pos, idx, jnp.asarray(input_pos, jnp.int32)
+                state.pos, idx, jnp.broadcast_to(ipos[:, :, 0], (B, H))
             ),
             mask=scatter_scalar(state.mask, idx, True),
             cache_ct=state.cache_ct + inserted,

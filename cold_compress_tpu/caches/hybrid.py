@@ -33,6 +33,7 @@ from .base import (
     CacheSpec,
     CacheState,
     gather_scalar,
+    input_pos_b11,
     scatter_scalar,
     store_kv_rows,
 )
@@ -267,6 +268,7 @@ class HybridCache(HeavyHitterCache):
         spec = state.spec
         B, KVH, _, D = k.shape
         C = spec.max_cache_length
+        input_pos = input_pos_b11(input_pos, B)  # [B,1,1], per-lane positions
         tables = _menu_tables(spec)
         sidx = state.extra["strategy_idx"]  # [B, KVH]
 
@@ -386,7 +388,7 @@ class HybridCache(HeavyHitterCache):
         new_pos = jnp.where(
             drop,
             gather_scalar(state.pos, fill_idx),
-            jnp.asarray(input_pos, jnp.int32),
+            jnp.broadcast_to(input_pos[:, :, 0], (B, KVH)),
         )
         state = state.replace(
             pos=scatter_scalar(state.pos, fill_idx, new_pos),
@@ -490,7 +492,9 @@ def _strategy_base_cols(spec, s: HybridStrategy, cum_attn, special, punc,
         # mask nor the window of the LAST query (reference: cache.py:1101-1131
         # uses the last query row to find "available" columns).
         w = max(1, int(s.recent_window * total_len)) if "window" in s.strategy else 0
-        last_q = prompt_len - 1
+        last_q = (
+            jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)) - 1
+        )[:, None, None]  # per-lane
         in_last_window = jnp.logical_and(
             input_pos[None, None, :] > last_q - w,
             input_pos[None, None, :] <= last_q,
@@ -567,18 +571,25 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
         probs = jax.nn.softmax(scores, axis=-1)
         return probs.mean(axis=2), q_pos  # [B,KVH,chunk,P]
 
+    # Per-lane prompt lengths [B] (scalar broadcasts to all lanes).
+    plen = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+    )
+
     def pass1(carry, ci):
         cum = carry
         pooled, q_pos = attn_chunk(ci)
-        q_valid = (q_pos < prompt_len).astype(jnp.float32)
-        cum = cum + jnp.einsum("bkcs,c->bks", pooled, q_valid)
+        q_valid = (q_pos[None, :] < plen[:, None]).astype(jnp.float32)
+        cum = cum + jnp.einsum("bkcs,bc->bks", pooled, q_valid)
         return cum, None
 
     cum, _ = jax.lax.scan(
         pass1, jnp.zeros((B, KVH, P), jnp.float32), jnp.arange(n_chunks)
     )
-    denom = jnp.maximum(prompt_len - input_pos, 1).astype(jnp.float32)
-    cum_attn = cum / denom[None, None, :]
+    denom = jnp.maximum(plen[:, None] - input_pos[None, :], 1).astype(
+        jnp.float32
+    )  # [B, P]
+    cum_attn = cum / denom[:, None, :]
 
     base_cols = [
         _strategy_base_cols(
@@ -594,7 +605,7 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
     def pass2(carry, ci):
         sums = carry  # [S, B, KVH]
         pooled, q_pos = attn_chunk(ci)  # [B,KVH,chunk,P]
-        q_valid = (q_pos < prompt_len).astype(jnp.float32)
+        q_valid = (q_pos[None, :] < plen[:, None]).astype(jnp.float32)
         new_sums = []
         for si in range(S):
             m = jnp.broadcast_to(
@@ -610,15 +621,15 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
                 m = jnp.logical_or(m, in_window[None, None])
             per_q = jnp.sum(jnp.where(m, pooled, 0.0), axis=-1)  # [B,KVH,chunk]
             new_sums.append(
-                sums[si] + jnp.einsum("bkc,c->bk", per_q, q_valid)
+                sums[si] + jnp.einsum("bkc,bc->bk", per_q, q_valid)
             )
         return jnp.stack(new_sums), None
 
     sums, _ = jax.lax.scan(
         pass2, jnp.zeros((S, B, KVH), jnp.float32), jnp.arange(n_chunks)
     )
-    n_q = jnp.maximum(prompt_len, 1).astype(jnp.float32)
-    scores = sums / n_q  # mean over valid queries of recovered mass
+    n_q = jnp.maximum(plen, 1).astype(jnp.float32)  # [B]
+    scores = sums / n_q[None, :, None]  # mean over valid queries
     return cum_attn, scores
 
 
@@ -637,7 +648,9 @@ def _keep_mask_for_filling(
         )
         if "window" in s.strategy:
             w = max(1, int(s.recent_window * C))
-            last_q = prompt_len - 1
+            last_q = (
+                jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)) - 1
+            )[:, None, None]  # per-lane
             in_window = jnp.logical_and(
                 input_pos[None, None, :] > last_q - w,
                 input_pos[None, None, :] <= last_q,

@@ -34,12 +34,18 @@ class PromptCompressorBase:
         raise NotImplementedError
 
 
+def _plen_b(prompt_len):
+    """Per-lane prompt lengths as a broadcastable [B or 1, 1, 1] column."""
+    return jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32))[:, None, None]
+
+
 def _recent_global_save_mask(spec, input_pos, prompt_len):
-    """Tokens never dropped: global prefix + recent window
-    (reference: prompt_compression.py:14-19)."""
+    """Tokens never dropped: global prefix + recent window, per lane
+    (reference: prompt_compression.py:14-19). Returns bool [B or 1, 1, P]."""
+    plen = _plen_b(prompt_len)
     return jnp.logical_or(
-        input_pos < spec.global_tokens,
-        input_pos >= prompt_len - spec.recent_window,
+        input_pos[None, None, :] < spec.global_tokens,
+        input_pos[None, None, :] >= plen - spec.recent_window,
     )
 
 
@@ -58,11 +64,12 @@ class PromptCompressorRandom(PromptCompressorBase):
     @staticmethod
     def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         P = input_pos.shape[-1]
-        key = jax.random.fold_in(jax.random.PRNGKey(1234), prompt_len)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(1234), jnp.sum(jnp.asarray(prompt_len))
+        )
         noise = jax.random.uniform(key, (P,))
         save = _recent_global_save_mask(spec, input_pos, prompt_len)
-        priority = jnp.where(save, BIG, noise)
-        return priority[None, None, :]
+        return jnp.where(save, BIG, noise[None, None, :])
 
 
 class PromptCompressorRecentGlobal(PromptCompressorBase):
@@ -89,7 +96,7 @@ class PromptCompressorL2(PromptCompressorBase):
     def token_importances(spec, input_pos, k, v, prompt_len, summary=None):
         priority = -jnp.linalg.norm(k.astype(jnp.float32), axis=-1)
         save = _recent_global_save_mask(spec, input_pos, prompt_len)
-        return jnp.where(save[None, None, :], BIG, priority)
+        return jnp.where(save, BIG, priority)
 
 
 class PromptCompressorKeepItOdd(PromptCompressorBase):
@@ -103,7 +110,7 @@ class PromptCompressorKeepItOdd(PromptCompressorBase):
         priority = input_pos.astype(jnp.float32)
         priority = jnp.where(input_pos % 2 == 0, priority - 2.0 * P, priority)
         save = _recent_global_save_mask(spec, input_pos, prompt_len)
-        return jnp.where(save, BIG, priority)[None, None, :]
+        return jnp.where(save, BIG, priority[None, None, :])
 
 
 class PromptCompressorHeavyHitter(PromptCompressorBase):
@@ -121,19 +128,19 @@ class PromptCompressorHeavyHitter(PromptCompressorBase):
     @classmethod
     def token_importances(cls, spec, input_pos, k, v, prompt_len, summary=None):
         assert summary is not None, "SnapKV needs the prefill attention summary"
-        obs_len = jnp.minimum(cls.observation_len, prompt_len)
+        plen = _plen_b(prompt_len)  # [B or 1, 1, 1]
+        obs_len = jnp.minimum(cls.observation_len, plen)
         # summary['obs_mean']: mean attention from the last obs_len valid
         # queries, streamed during prefill (never materializes the P x P map).
         priority = summary["obs_mean"]  # [B, KVH, P]
         priority = _avg_pool_1d(priority, cls.kernel_size)
-        # Force-keep the observation window and the global prefix.
+        # Force-keep the observation window and the global prefix (per lane).
+        ip = input_pos[None, None, :]
         keep = jnp.logical_or(
-            jnp.logical_and(
-                input_pos >= prompt_len - obs_len, input_pos < prompt_len
-            ),
-            input_pos < spec.global_tokens,
+            jnp.logical_and(ip >= plen - obs_len, ip < plen),
+            ip < spec.global_tokens,
         )
-        return jnp.where(keep[None, None, :], BIG, priority)
+        return jnp.where(keep, BIG, priority)
 
 
 def _avg_pool_1d(x: jax.Array, kernel: int) -> jax.Array:

@@ -64,12 +64,17 @@ def precompute_freqs_cis(
 
 
 def apply_rotary_emb(x: jax.Array, freqs: jax.Array) -> jax.Array:
-    """x: [B, L, H, D]; freqs: [L, D//2, 2]. Interleaved-pair rotation
-    (reference: model.py:507-519)."""
+    """x: [B, L, H, D]; freqs: [L, D//2, 2] shared across the batch, or
+    [B, L, D//2, 2] per-lane (batched decode at different positions).
+    Interleaved-pair rotation (reference: model.py:507-519)."""
     B, L, H, D = x.shape
     xf = x.astype(jnp.float32).reshape(B, L, H, D // 2, 2)
-    cos = freqs[None, :, None, :, 0]
-    sin = freqs[None, :, None, :, 1]
+    if freqs.ndim == 4:  # per-lane table
+        cos = freqs[:, :, None, :, 0]
+        sin = freqs[:, :, None, :, 1]
+    else:
+        cos = freqs[None, :, None, :, 0]
+        sin = freqs[None, :, None, :, 1]
     x0 = xf[..., 0]
     x1 = xf[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)

@@ -323,7 +323,9 @@ def prefill(
     """
     B, P = tokens.shape
     input_pos = jnp.arange(P, dtype=jnp.int32)
-    valid = jnp.broadcast_to(input_pos[None, :] < prompt_len, (B, P))
+    # prompt_len may be scalar (shared) or [B] (per-lane batched prefill).
+    plen = jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32))
+    valid = jnp.broadcast_to(input_pos[None, :] < plen[:, None], (B, P))
     freqs = rope[:P]
     x = _embed(params, tokens)
 
@@ -359,7 +361,7 @@ def prefill(
             x, cache = layer_fn(x, layer_params, cache)
             new_list.append(cache)
         new_caches = tuple(new_list)
-    last = x[jnp.arange(B), jnp.asarray(prompt_len, jnp.int32) - 1]  # [B, D]
+    last = x[jnp.arange(B), jnp.broadcast_to(plen, (B,)) - 1]  # [B, D]
     logits = _logits(cfg, params, last[:, None])[:, 0]  # [B, vocab] f32
     return logits, new_caches
 
@@ -373,11 +375,15 @@ def decode_step(
     input_pos: jax.Array,  # scalar int32
     attn_top_k: float = 1.0,
 ) -> Tuple[jax.Array, Tuple[CacheState, ...]]:
-    """One decode step. Returns (logits [B, vocab] f32, caches)."""
+    """One decode step. Returns (logits [B, vocab] f32, caches).
+
+    ``input_pos`` is a scalar (all lanes at the same position) or [B]
+    per-lane positions (batched generation with unequal prompt lengths).
+    """
     B = token.shape[0]
-    freqs = jax.lax.dynamic_slice_in_dim(
-        rope, input_pos, 1, axis=0
-    )  # [1, hd//2, 2]
+    ipos = jnp.atleast_1d(jnp.asarray(input_pos, jnp.int32))
+    # [Bi, 1, hd//2, 2]: per-lane rope rows (Bi == 1 broadcasts over B).
+    freqs = jnp.take(rope, ipos, axis=0)[:, None]
     x = _embed(params, token[:, None])  # [B, 1, D]
 
     def layer_fn(x, layer_params, cache):

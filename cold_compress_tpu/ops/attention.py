@@ -104,7 +104,7 @@ def prefill_attention(
     k: jax.Array,  # [B, KVH, P, D]
     v: jax.Array,  # [B, KVH, P, D]
     valid: jax.Array,  # bool [B, P] (True for real prompt tokens)
-    prompt_len: jax.Array,  # scalar int32
+    prompt_len: jax.Array,  # scalar or [B] int32 (per-lane lengths)
     need_summary: bool = False,
     obs_len: int = 16,
     chunk_size: int = 256,
@@ -152,7 +152,10 @@ def _chunked_prefill(
     key_pos = jnp.arange(P)
     kf = k.astype(jnp.bfloat16)
     vf = v.astype(jnp.bfloat16)
-    prompt_len = jnp.asarray(prompt_len, jnp.int32)
+    # Normalize to per-lane lengths [B] (scalar broadcasts to all lanes).
+    plen = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+    )
 
     def body(carry, ci):
         cum, obs = carry
@@ -178,12 +181,15 @@ def _chunked_prefill(
         ).astype(jnp.bfloat16)
         if need_summary:
             pooled = probs.mean(axis=2)  # [B, KVH, chunk, P]
-            q_valid = (q_pos < prompt_len).astype(jnp.float32)  # [chunk]
-            cum = cum + jnp.einsum("bkcs,c->bks", pooled, q_valid)
+            q_valid = (
+                q_pos[None, :] < plen[:, None]
+            ).astype(jnp.float32)  # [B, chunk]
+            cum = cum + jnp.einsum("bkcs,bc->bks", pooled, q_valid)
             in_obs = jnp.logical_and(
-                q_pos >= prompt_len - obs_len, q_pos < prompt_len
+                q_pos[None, :] >= plen[:, None] - obs_len,
+                q_pos[None, :] < plen[:, None],
             ).astype(jnp.float32)
-            obs = obs + jnp.einsum("bkcs,c->bks", pooled, in_obs)
+            obs = obs + jnp.einsum("bkcs,bc->bks", pooled, in_obs)
         return (cum, obs), y_c
 
     zeros = jnp.zeros((B, KVH, P), jnp.float32)
@@ -196,13 +202,15 @@ def _chunked_prefill(
 
     if not need_summary:
         return y, None
-    obs_count = jnp.maximum(jnp.minimum(obs_len, prompt_len), 1).astype(
+    obs_count = jnp.maximum(jnp.minimum(obs_len, plen), 1).astype(
         jnp.float32
-    )
-    denom = jnp.maximum(prompt_len - key_pos, 1).astype(jnp.float32)
+    )  # [B]
+    denom = jnp.maximum(plen[:, None] - key_pos[None, :], 1).astype(
+        jnp.float32
+    )  # [B, P]
     summary = {
-        "obs_mean": obs / obs_count,
-        "cum_mean": cum / denom[None, None, :],
+        "obs_mean": obs / obs_count[:, None, None],
+        "cum_mean": cum / denom[:, None, :],
     }
     return y, summary
 

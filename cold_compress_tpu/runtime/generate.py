@@ -341,6 +341,156 @@ def generate(
     return seq, info, caches
 
 
+def generate_batch(
+    cfg: ModelConfig,
+    params,
+    rope,
+    caches,
+    prompts: Sequence[Sequence[int]],
+    max_new_tokens: int,
+    *,
+    terminator_ids: Optional[Sequence[int]] = None,
+    attn_top_k: float = 1.0,
+    pad_id: int = 0,
+    prefill_bucket: Optional[int] = None,
+) -> Tuple[List[List[int]], Dict[str, Any], Any]:
+    """Batched greedy generation: B prompts of different lengths decode in
+    lock-step with per-lane positions, per-lane terminator early-exit, and
+    per-lane cache state (the batch axis threads through every cache op).
+
+    The reference is strictly batch-1 (model.py:189 "Fixed for now",
+    README.md:536-537 lists batching as future work) — this is a TPU-native
+    extension: lanes share one compiled program and the weight streaming
+    cost of each decode step.
+
+    Caches must have been built with ``batch_size == len(prompts)``. Returns
+    ``(sequences, info, caches)`` where ``sequences[b]`` is prompt +
+    generation for lane b and ``info['perf_stats']`` reports aggregate
+    throughput across lanes.
+    """
+    prompts = [list(map(int, p)) for p in prompts]
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    terminator_ids = list(terminator_ids or [])
+
+    from ..models.transformer import is_stacked
+
+    specs = (
+        [caches.spec] if is_stacked(caches) else [c.spec for c in caches]
+    )
+    min_cache_length = min(s.max_cache_length for s in specs)
+    # Lanes whose prompt exactly fills the smallest cache shave one token and
+    # force it through decode (same edge the single-prompt path handles —
+    # eviction state must exist before overflow).
+    forced_first = [-1] * B
+    for b in range(B):
+        if lens[b] == min_cache_length:
+            forced_first[b] = prompts[b][-1]
+            lens[b] -= 1
+
+    direct_fill = [
+        s.max_cache_length
+        for s in specs
+        if s.cache_strategy in ("full", "hybrid")
+        or s.cache_strategy.startswith("debug_")
+    ]
+    P = prefill_bucket or bucket_length(max(lens))
+    if direct_fill and P > min(direct_fill):
+        P = min(direct_fill)
+    assert P >= max(lens), (
+        f"Longest prompt ({max(lens)} tokens) exceeds the prefill bucket "
+        f"({P})."
+    )
+    tokens = jnp.asarray(
+        [p[: lens[b]] + [pad_id] * (P - lens[b]) for b, p in enumerate(prompts)],
+        dtype=jnp.int32,
+    )
+    plen = jnp.asarray(lens, jnp.int32)
+
+    t0 = time.perf_counter()
+    greedy_tok, prefill_probs, caches = _prefill_jit(
+        cfg, params, rope, caches, tokens, plen
+    )
+    prefill_probs = np.asarray(jax.block_until_ready(prefill_probs))
+    t1 = time.perf_counter()
+
+    forced_arr = np.asarray(forced_first, np.int32)
+    first_token = jnp.where(
+        jnp.asarray(forced_arr) >= 0, jnp.asarray(forced_arr), greedy_tok
+    )
+    first_np = np.asarray(first_token)
+    first_probs = [
+        float(prefill_probs[b, int(first_np[b])]) for b in range(B)
+    ]
+
+    max_steps = max(max_new_tokens - 1, 0)
+    prefix_arr = jnp.full((max(max_steps, 1),), -1, jnp.int32)
+    term_arr = jnp.asarray(
+        terminator_ids if terminator_ids else [-7], jnp.int32
+    )
+
+    if max_steps > 0:
+        tokens_buf, probs_buf, n_steps, last_probs, caches = _decode_loop_jit(
+            cfg,
+            params,
+            rope,
+            caches,
+            first_token,
+            plen,
+            prefix_arr,
+            term_arr,
+            max_steps,
+            attn_top_k,
+        )
+        tokens_buf = np.asarray(jax.block_until_ready(tokens_buf))
+        t2 = time.perf_counter()
+        gens = [
+            [int(t) for t in tokens_buf[:, b] if int(t) != -1]
+            for b in range(B)
+        ]
+        probs_np = np.asarray(probs_buf)
+        emitted_probs = [
+            [first_probs[b]]
+            + [float(p) for p in probs_np[: len(gens[b]) - 1, b]]
+            for b in range(B)
+        ]
+        last_probs = np.asarray(last_probs)
+    else:
+        t2 = t1
+        gens = [[int(first_np[b])] for b in range(B)]
+        emitted_probs = [[first_probs[b]] for b in range(B)]
+        last_probs = prefill_probs
+
+    seqs = [prompts[b][: lens[b]] + gens[b] for b in range(B)]
+
+    prefill_seconds = t1 - t0
+    decode_seconds = max(t2 - t1, 1e-9)
+    decode_tokens_total = sum(len(g) for g in gens)
+    total_seconds = t2 - t0
+    perf_stats = {
+        "batch_size": B,
+        "prefill_tokens": int(sum(lens)),
+        "decode_tokens": decode_tokens_total,
+        "prefill_toks_per_sec": sum(lens) / max(prefill_seconds, 1e-9),
+        "decode_toks_per_sec": decode_tokens_total / decode_seconds,
+        "total_toks_per_sec": decode_tokens_total / max(total_seconds, 1e-9),
+        "total_seconds": total_seconds,
+        "prefill_seconds": prefill_seconds,
+        "decode_seconds": decode_seconds,
+        "decode_seconds_frac_of_total": decode_seconds
+        / max(total_seconds, 1e-9),
+        "memory_used_gb": _device_memory_gb(),
+    }
+    info = {
+        "perf_stats": perf_stats,
+        "emitted_probs": emitted_probs,
+        "final_probs": last_probs,
+        "prompt_lengths": lens,
+        "num_generated": [len(g) for g in gens],
+    }
+    return seqs, info, caches
+
+
 def _device_memory_gb() -> float:
     try:
         stats = jax.local_devices()[0].memory_stats()
