@@ -71,35 +71,56 @@ def _weight_spec(role: str, leaf):
     return P()
 
 
+def _layer_pspecs(lp, stacked: bool):
+    """Spec tree for one layer dict (or the stacked all-layers dict: same
+    structure with a leading layer axis on every array, so every spec gets a
+    leading None)."""
+    attn = {
+        "wq": _weight_spec("col", lp["attn"]["wq"]),
+        "wk": _weight_spec("col", lp["attn"]["wk"]),
+        "wv": _weight_spec("col", lp["attn"]["wv"]),
+        "wo": _weight_spec("row", lp["attn"]["wo"]),
+    }
+    for b in ("bq", "bk", "bv"):
+        if b in lp["attn"]:
+            attn[b] = P("tp")
+    spec = {
+        "attn": attn,
+        "ffn": {
+            "w1": _weight_spec("col", lp["ffn"]["w1"]),
+            "w3": _weight_spec("col", lp["ffn"]["w3"]),
+            "w2": _weight_spec("row", lp["ffn"]["w2"]),
+        },
+        "attention_norm": P(),
+        "ffn_norm": P(),
+    }
+    if stacked:
+        spec = _prefix_none(spec)
+    return spec
+
+
+def _prefix_none(node):
+    """Prepend a None (layer) axis to every PartitionSpec in a spec tree."""
+    if isinstance(node, P):
+        return P(None, *node)
+    if isinstance(node, dict):
+        return {k: _prefix_none(v) for k, v in node.items()}
+    if node is None:
+        return None
+    return node
+
+
 def param_pspecs(cfg: ModelConfig, params) -> dict:
-    """PartitionSpec pytree matching the params layout
-    (tp.py's scheme expressed as specs)."""
-    layers = []
-    for lp in params["layers"]:
-        attn = {
-            "wq": _weight_spec("col", lp["attn"]["wq"]),
-            "wk": _weight_spec("col", lp["attn"]["wk"]),
-            "wv": _weight_spec("col", lp["attn"]["wv"]),
-            "wo": _weight_spec("row", lp["attn"]["wo"]),
-        }
-        for b in ("bq", "bk", "bv"):
-            if b in lp["attn"]:
-                attn[b] = P("tp")
-        layers.append(
-            {
-                "attn": attn,
-                "ffn": {
-                    "w1": _weight_spec("col", lp["ffn"]["w1"]),
-                    "w3": _weight_spec("col", lp["ffn"]["w3"]),
-                    "w2": _weight_spec("row", lp["ffn"]["w2"]),
-                },
-                "attention_norm": P(),
-                "ffn_norm": P(),
-            }
-        )
+    """PartitionSpec pytree matching the params layout — list-of-layers or
+    stacked scan-over-layers (tp.py's scheme expressed as specs)."""
+    layers = params["layers"]
+    if isinstance(layers, list):
+        layer_specs = [_layer_pspecs(lp, stacked=False) for lp in layers]
+    else:  # stacked: one spec tree with a leading layer axis
+        layer_specs = _layer_pspecs(layers, stacked=True)
     return {
         "tok_embeddings": _weight_spec("rep", params["tok_embeddings"]),
-        "layers": layers,
+        "layers": layer_specs,
         "norm": P(),
         "output": _weight_spec("col", params["output"])
         if params["output"] is not None
@@ -111,17 +132,24 @@ def cache_pspecs(state: CacheState) -> CacheState:
     """Spec pytree for a cache state: batch on dp, KV heads on tp.
 
     Head-axis sharding needs no cross-device communication for any strategy:
-    scores, argmin eviction, and history updates are head-local.
+    scores, argmin eviction, and history updates are head-local. Handles both
+    per-layer states ([B, KVH, ...] leaves) and the stacked scan-over-layers
+    state ([L, B, KVH, ...] leaves).
     """
+    stacked = state.pos.ndim == 4  # [L, B, KVH, C]
+    off = 1 if stacked else 0
+    B, KVH = state.pos.shape[off], state.pos.shape[off + 1]
+    lead = (None,) * off
 
     def leaf_spec(x):
         if x is None:
             return None
-        if x.ndim >= 2 and x.shape[1] == state.pos.shape[1]:
-            # [B, KVH, ...] layout
-            return P("dp", "tp", *([None] * (x.ndim - 2)))
-        if x.ndim == 0:
-            return P()
+        if (
+            x.ndim >= off + 2
+            and x.shape[off] == B
+            and x.shape[off + 1] == KVH
+        ):
+            return P(*lead, "dp", "tp", *([None] * (x.ndim - off - 2)))
         return P(*([None] * x.ndim))
 
     return jax.tree.map(leaf_spec, state)
@@ -164,18 +192,34 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
     return tree_place(params, param_pspecs(cfg, params), mesh)
 
 
+def _shard_one_cache(state: CacheState, mesh: Mesh) -> CacheState:
+    specs = cache_pspecs(state)
+    leaves, treedef = jax.tree.flatten(state)
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P))
+    placed = [
+        jax.device_put(x, NamedSharding(mesh, s))
+        for x, s in zip(leaves, spec_leaves)
+    ]
+    return jax.tree.unflatten(treedef, placed)
+
+
 def shard_caches(caches, mesh: Mesh):
-    out = []
-    for state in caches:
-        specs = cache_pspecs(state)
-        leaves, treedef = jax.tree.flatten(state)
-        spec_leaves = jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P))
-        placed = [
-            jax.device_put(x, NamedSharding(mesh, s))
-            for x, s in zip(leaves, spec_leaves)
-        ]
-        out.append(jax.tree.unflatten(treedef, placed))
-    return tuple(out)
+    """Place caches on the mesh. Accepts a list/tuple of per-layer states or
+    a single stacked (scan-over-layers) CacheState."""
+    if isinstance(caches, CacheState):
+        return _shard_one_cache(caches, mesh)
+    return tuple(_shard_one_cache(state, mesh) for state in caches)
+
+
+def shard_model(cfg: ModelConfig, params, caches, tp: int, dp: int = 1,
+                devices=None):
+    """One-call CLI entry: build the mesh and place params + caches with TP
+    (head/column) and DP (batch) shardings. Works for both the unrolled and
+    stacked layer layouts (reference run mode: generate.py:79-86, tp.py:171).
+    """
+    validate_tp(cfg, tp)
+    mesh = make_mesh(tp=tp, dp=dp, devices=devices)
+    return mesh, shard_params(params, mesh, cfg), shard_caches(caches, mesh)
 
 
 def validate_tp(cfg: ModelConfig, tp: int) -> None:

@@ -150,6 +150,13 @@ def add_generation_arguments(parser: argparse.ArgumentParser):
         default=1,
         help="Tensor-parallel degree over the device mesh.",
     )
+    group.add_argument(
+        "--dp",
+        type=int,
+        default=1,
+        help="Data-parallel degree (shards the batch axis; pair with "
+        "--batch_size in eval.py).",
+    )
 
 
 def merge_cache_config(args: argparse.Namespace) -> argparse.Namespace:

@@ -36,7 +36,11 @@ from cold_compress_tpu.runtime.engine import (
     load_model,
     min_cache_length,
 )
-from cold_compress_tpu.runtime.generate import generate, reset_caches
+from cold_compress_tpu.runtime.generate import (
+    generate,
+    generate_batch,
+    reset_caches,
+)
 from cold_compress_tpu.runtime.stats import get_cache_stats
 from cold_compress_tpu.tokenizer import encode, get_tokenizer
 from cold_compress_tpu.utils.cli import (
@@ -164,9 +168,25 @@ def run_task(
     specs = build_cache_specs(
         cfg, vars(args), target_length, token_ids=token_ids
     )
-    caches = T.init_caches(cfg, specs, batch_size=1)
+    # Batched generation for generation tasks (a TPU-native extension — the
+    # reference is batch-1 only, README.md:536-537); perplexity /
+    # prompt-feeding modes stay single-lane.
+    use_batch = (
+        args.batch_size > 1
+        and not task.requires_perplexity
+        and not args.feed_long_prompts
+        and not args.decode_first_token
+    )
+    bs = args.batch_size if use_batch else 1
+    caches = T.init_caches(cfg, specs, batch_size=bs)
     if T.is_stacked(caches):
         params = T.stack_layer_params(params)
+    if args.tp > 1 or args.dp > 1:
+        from cold_compress_tpu.parallel.mesh import shard_model
+
+        _, params, caches = shard_model(
+            cfg, params, caches, tp=args.tp, dp=args.dp
+        )
     mcl = min_cache_length(specs)
 
     if args.profile:
@@ -177,6 +197,64 @@ def run_task(
         except Exception as e:
             print(f"Profiling unavailable on this backend: {e}")
             args.profile = None
+
+    if use_batch:
+        for start in range(0, len(inputs), bs):
+            group = list(range(start, min(start + bs, len(inputs))))
+            batch_prompts = [inputs[j] for j in group]
+            # Pad the final partial batch by repeating the last prompt; the
+            # surplus lanes are computed and discarded.
+            batch_prompts += [batch_prompts[-1]] * (bs - len(group))
+            max_new_tokens = min(
+                task.max_tokens,
+                max_seq_length - max(len(p) for p in batch_prompts),
+            )
+            assert max_new_tokens > 0, "Prompt too long for batch"
+            seqs, info, caches = generate_batch(
+                cfg,
+                params,
+                rope,
+                caches,
+                batch_prompts,
+                max_new_tokens,
+                terminator_ids=terminator_ids,
+                attn_top_k=args.attn_top_k,
+            )
+            for k, v in info["perf_stats"].items():
+                aggregate[k].append(v)
+            cache_stats = get_cache_stats(
+                caches,
+                int(np.mean(info["prompt_lengths"])),
+                int(np.mean(info["num_generated"])),
+            )
+            for k, v in cache_stats.items():
+                aggregate[k].append(v)
+            for lane, j in enumerate(group):
+                y = seqs[lane][info["prompt_lengths"][lane] :]
+                if y and y[-1] in terminator_ids:
+                    y = y[:-1]
+                pred = tokenizer.decode(y)
+                if args.debug:
+                    print(f"Prediction: {pred}")
+                predictions.append(pred)
+                if task.requires_logits:
+                    vocab = tokenizer.get_vocab()
+                    probs = np.asarray(info["final_probs"][lane])
+                    all_probs.append(
+                        {
+                            tok: float(probs[idx])
+                            for idx, tok in enumerate(vocab[: len(probs)])
+                            if len(tok) <= 3
+                        }
+                    )
+            caches = reset_caches(caches)
+            done = group[-1] + 1
+            if done % 10 < bs:
+                print(
+                    f"  {done}/{len(inputs)} examples; agg decode tok/s="
+                    f"{np.mean(aggregate['decode_toks_per_sec']):.1f}"
+                )
+        inputs = []  # the per-example loop below is skipped
 
     for i, input_ids in enumerate(inputs):
         next_tokens = None if label_ids is None else label_ids[i]
@@ -432,6 +510,13 @@ def add_eval_args(parser):
         type=str,
         default=None,
         help="Run with a random-weight model (smoke testing).",
+    )
+    parser.add_argument(
+        "--batch_size",
+        type=int,
+        default=1,
+        help="Lanes per generate_batch call for generation tasks (beyond "
+        "reference parity; pairs with --dp to shard the batch axis).",
     )
 
 

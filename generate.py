@@ -91,6 +91,15 @@ def main(args) -> None:
     if T.is_stacked(caches):
         params = T.stack_layer_params(params)
 
+    if args.tp > 1:
+        # Shard weights column/row-wise and caches on the KV-head axis over
+        # a (1, tp) mesh; GSPMD inserts the two per-layer all-reduces the
+        # reference wires by hand (reference: generate.py:79-86, tp.py:171).
+        from cold_compress_tpu.parallel.mesh import shard_model
+
+        mesh, params, caches = shard_model(cfg, params, caches, tp=args.tp)
+        print(f"Tensor-parallel over {args.tp} devices: {mesh}")
+
     if args.profile:
         try:
             jax.profiler.start_trace(str(args.profile))

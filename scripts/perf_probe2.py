@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""In-graph kernel timing: the axon tunnel adds ~3.5 ms per host dispatch,
+so individual pallas_call timings are meaningless. Here each kernel runs
+``iters`` times inside one jitted fori_loop (sequential via an accumulator
+dependency) and the per-iteration time is the whole-program time / iters.
+
+Stages: micro (current w4a8 + w8a8 + stream/unpack), v2b (dual-dot), attn.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.append(str(Path(__file__).parent))
+from cold_compress_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from perf_probe import _mk_int4, _repack_signed, qmm_w4a8_v2b  # noqa: E402
+
+ITERS = 48
+
+
+def graph_time(call, x0, extra_args, iters=ITERS, reps=3):
+    """call(x, *extra_args) -> array. Returns per-iteration seconds.
+
+    Every rep uses a DIFFERENT x0: the axon tunnel coalesces identical
+    (executable, inputs) calls and replays the cached result, producing
+    fake multi-TB/s numbers. The dispatch overhead (~ms) is subtracted by
+    comparing iters vs iters//4 loop lengths.
+    """
+
+    def make_run(n):
+        @jax.jit
+        def run(x0, *extra):
+            def body(i, carry):
+                acc, x = carry
+                y = call(x + acc * 1e-20, *extra)  # acc-dep serializes
+                return (acc + jnp.sum(y).astype(jnp.float32), x)
+
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), x0))
+            return acc
+
+        return run
+
+    run_full = make_run(iters)
+    run_quarter = make_run(iters // 4)
+    xs = [x0 + 0.001 * (r + 1) for r in range(2 * reps + 2)]
+    jax.block_until_ready(run_full(xs[-1], *extra_args))  # compile
+    jax.block_until_ready(run_quarter(xs[-2], *extra_args))
+
+    def med(run, xlist):
+        ts = []
+        for xr in xlist:
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(xr, *extra_args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_full = med(run_full, xs[:reps])
+    t_quarter = med(run_quarter, xs[reps: 2 * reps])
+    # slope between the two loop lengths removes fixed dispatch cost
+    return max((t_full - t_quarter) / (iters - iters // 4), 1e-9)
+
+
+def report(name, secs, bytes_streamed=None, **extra):
+    rec = {"probe": name, "us": round(secs * 1e6, 1)}
+    if bytes_streamed:
+        rec["GBps"] = round(bytes_streamed / secs / 1e9, 1)
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+SHAPES = [(4096, 14336), (14336, 4096), (4096, 4096), (4096, 6144)]
+
+
+def stage_micro():
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8
+    from cold_compress_tpu.ops.linear import QuantizedWeight, w8a8_matmul
+
+    rng = np.random.RandomState(0)
+    for IN, OUT in SHAPES:
+        w, s, z = _mk_int4(IN, OUT, 1)
+        x0 = jnp.asarray(rng.randn(8, IN).astype(np.float32) / 32)
+        t = graph_time(
+            lambda x, w, s, z: qmm_w4a8(x, w, s, z), x0, (w, s, z)
+        )
+        report(f"g_w4a8_{IN}x{OUT}", t, bytes_streamed=IN * OUT // 2)
+
+    IN, OUT = 4096, 128256
+    w8 = jnp.asarray(rng.randint(-127, 127, size=(IN, OUT), dtype=np.int8))
+    sc = jnp.ones((OUT,), jnp.float32)
+    x0 = jnp.asarray(rng.randn(8, IN).astype(np.float32) / 32)
+
+    def w8call(x, w, sc):
+        leaf = QuantizedWeight(w=w, scales=sc, kind="int8")
+        return w8a8_matmul(x, leaf)
+
+    t = graph_time(w8call, x0, (w8, sc), iters=16)
+    report("g_w8a8_lm_head", t, bytes_streamed=IN * OUT)
+
+
+def stage_streams():
+    rng = np.random.RandomState(0)
+    IN, OUT = 4096, 14336
+    INh = IN // 2
+    TO = 256
+    w, _, _ = _mk_int4(IN, OUT, 2)
+
+    # Each kernel takes a small varying x operand so the pallas_call is not
+    # loop-invariant (XLA would hoist a pure function of the constant w out
+    # of the timing loop).
+    def _stream_call(kernel, w_arr):
+        def call(x, w):
+            return pl.pallas_call(
+                kernel,
+                grid=(OUT // TO,),
+                in_specs=[
+                    pl.BlockSpec((1, 128), lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((INh, TO), lambda j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, TO), lambda j: (0, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, OUT), jnp.int32),
+            )(x, w)
+
+        return call, w_arr
+
+    def k_stream(x_ref, w_ref, o_ref):
+        o_ref[...] = jnp.sum(
+            w_ref[...].astype(jnp.int32), axis=0, keepdims=True
+        ) + x_ref[0, 0].astype(jnp.int32)
+
+    x0 = jnp.zeros((1, 128), jnp.float32)
+    call, warr = _stream_call(k_stream, w)
+    t = graph_time(call, x0, (warr,))
+    report("g_stream_only_u8", t, bytes_streamed=INh * OUT)
+
+    def k_unpack(x_ref, w_ref, o_ref):
+        p = w_ref[...].astype(jnp.int32)
+        lo = (p & 0xF).astype(jnp.int8)
+        hi = ((p >> 4) & 0xF).astype(jnp.int8)
+        o_ref[...] = jnp.sum(
+            lo.astype(jnp.int32) + hi.astype(jnp.int32), axis=0,
+            keepdims=True,
+        ) + x_ref[0, 0].astype(jnp.int32)
+
+    call, warr = _stream_call(k_unpack, w)
+    t = graph_time(call, x0, (warr,))
+    report("g_unpack_i32", t, bytes_streamed=INh * OUT)
+
+    # int8-native single-op unpack (supported per basics probe)
+    def k_unpack8(x_ref, w_ref, o_ref):
+        lo = w_ref[...] & 0xF
+        o_ref[...] = jnp.sum(
+            lo.astype(jnp.int32), axis=0, keepdims=True
+        ) + x_ref[0, 0].astype(jnp.int32)
+
+    call, warr = _stream_call(k_unpack8, _repack_signed(w))
+    t = graph_time(call, x0, (warr,))
+    report("g_unpack_i8and", t, bytes_streamed=INh * OUT)
+
+
+def stage_v2b():
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8
+
+    rng = np.random.RandomState(0)
+    for IN, OUT in SHAPES:
+        w, s, z = _mk_int4(IN, OUT, 1)
+        ws = _repack_signed(w)
+        x0 = jnp.asarray(rng.randn(8, IN).astype(np.float32) / 32)
+        # numerics check once (host dispatch ok)
+        y_ref = np.asarray(qmm_w4a8(x0, w, s, z))
+        y_new = np.asarray(qmm_w4a8_v2b(x0, ws, s, z))
+        err = float(np.max(np.abs(y_ref - y_new))
+                    / max(1e-9, float(np.max(np.abs(y_ref)))))
+        t = graph_time(
+            lambda x, w, s, z: qmm_w4a8_v2b(x, w, s, z), x0, (ws, s, z)
+        )
+        report(f"g_v2b_{IN}x{OUT}", t, bytes_streamed=IN * OUT // 2,
+               rel_err=round(err, 6))
+
+
+def stage_attn():
+    from cold_compress_tpu.ops.attention import gqa_attention
+
+    rng = np.random.RandomState(0)
+    B, H, KVH, D, S = 1, 32, 8, 128, 2048
+    k = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32) / 16).astype(
+        jnp.bfloat16
+    )
+    v = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32) / 16).astype(
+        jnp.bfloat16
+    )
+    mask = jnp.ones((B, KVH, 1, 1, S), bool)
+    q0 = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 16).astype(
+        jnp.bfloat16
+    )
+    for ra in (True, False):
+        t = graph_time(
+            lambda q, k, v: gqa_attention(
+                q, k, v, mask=mask, return_attn=ra
+            )[0],
+            q0, (k, v),
+        )
+        report(f"g_decode_attn_S{S}_ra{int(ra)}", t,
+               bytes_streamed=2 * B * KVH * S * D * 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="micro,streams,v2b,attn")
+    args = ap.parse_args()
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    for st in args.stage.split(","):
+        t0 = time.time()
+        dict(micro=stage_micro, streams=stage_streams, v2b=stage_v2b,
+             attn=stage_attn)[st]()
+        print(json.dumps({"stage": st, "wall_s": round(time.time() - t0, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
