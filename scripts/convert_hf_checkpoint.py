@@ -152,7 +152,13 @@ def convert_hf_checkpoint(checkpoint_dir: Path, model_name=None) -> Path:
 
     flat = {}
     for key, value in merged.items():
-        abstract = re.sub(r"(\d+)", "{}", key) if "layers" in key else key
+        # Only the layer index is abstracted — a bare \d+ substitution would
+        # also hit the digits in meta-format names like feed_forward.w1.
+        abstract = (
+            re.sub(r"layers\.(\d+)\.", "layers.{}.", key)
+            if "layers" in key
+            else key
+        )
         if abstract not in weight_map:
             print(f"  skipping unmapped key {key}")
             continue

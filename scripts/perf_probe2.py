@@ -31,24 +31,57 @@ from perf_probe import _mk_int4, _repack_signed, qmm_w4a8_v2b  # noqa: E402
 ITERS = 48
 
 
-def graph_time(call, x0, extra_args, iters=ITERS, reps=3):
-    """call(x, *extra_args) -> array. Returns per-iteration seconds.
+MIN_WORKING_SET = 512 << 20  # cycle > on-chip capacity so HBM must stream
 
-    Every rep uses a DIFFERENT x0: the axon tunnel coalesces identical
-    (executable, inputs) calls and replays the cached result, producing
-    fake multi-TB/s numbers. The dispatch overhead (~ms) is subtracted by
-    comparing iters vs iters//4 loop lengths.
+
+def graph_time(call, x0, extra_args, iters=ITERS, reps=3):
+    """call(x, *per_iter_args) -> array. Returns per-iteration seconds.
+
+    Two traps on this backend (hard-won in round 1):
+      * identical (executable, inputs) host calls are coalesced and replayed
+        -> every rep uses a different x0;
+      * a single weight matrix stays resident on-chip across loop
+        iterations -> multi-TB/s fantasy numbers. Each per-iteration arg is
+        replicated K times (working set > MIN_WORKING_SET) and the loop
+        scans over the stack exactly like the model's scan-over-layers.
+    The fixed dispatch cost is removed by differencing full vs quarter
+    loop lengths.
     """
+    bytes_per_iter = sum(
+        a.size * a.dtype.itemsize for a in extra_args
+    )
+    K = max(2, min(64, -(-MIN_WORKING_SET // max(bytes_per_iter, 1))))
+    stacks = []
+    for a in extra_args:
+        base = np.asarray(a)
+        copies = [base]
+        rng = np.random.RandomState(17)
+        for _ in range(K - 1):
+            if base.dtype in (np.uint8, np.int8):
+                copies.append(
+                    base ^ np.asarray(rng.randint(1, 3), base.dtype)
+                )
+            else:
+                copies.append(base * (1.0 + 1e-3 * rng.rand()))
+        stacks.append(jnp.asarray(np.stack(copies)))
 
     def make_run(n):
         @jax.jit
-        def run(x0, *extra):
-            def body(i, carry):
+        def run(x0, *stks):
+            def body(carry, i):
                 acc, x = carry
-                y = call(x + acc * 1e-20, *extra)  # acc-dep serializes
-                return (acc + jnp.sum(y).astype(jnp.float32), x)
+                args_i = [
+                    jax.lax.dynamic_index_in_dim(
+                        s, i % K, axis=0, keepdims=False
+                    )
+                    for s in stks
+                ]
+                y = call(x + acc * 1e-20, *args_i)  # acc-dep serializes
+                return (acc + jnp.sum(y).astype(jnp.float32), x), None
 
-            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), x0))
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), x0), jnp.arange(n)
+            )
             return acc
 
         return run
@@ -56,20 +89,19 @@ def graph_time(call, x0, extra_args, iters=ITERS, reps=3):
     run_full = make_run(iters)
     run_quarter = make_run(iters // 4)
     xs = [x0 + 0.001 * (r + 1) for r in range(2 * reps + 2)]
-    jax.block_until_ready(run_full(xs[-1], *extra_args))  # compile
-    jax.block_until_ready(run_quarter(xs[-2], *extra_args))
+    jax.block_until_ready(run_full(xs[-1], *stacks))  # compile
+    jax.block_until_ready(run_quarter(xs[-2], *stacks))
 
     def med(run, xlist):
         ts = []
         for xr in xlist:
             t0 = time.perf_counter()
-            jax.block_until_ready(run(xr, *extra_args))
+            jax.block_until_ready(run(xr, *stacks))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
     t_full = med(run_full, xs[:reps])
     t_quarter = med(run_quarter, xs[reps: 2 * reps])
-    # slope between the two loop lengths removes fixed dispatch cost
     return max((t_full - t_quarter) / (iters - iters // 4), 1e-9)
 
 
