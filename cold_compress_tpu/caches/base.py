@@ -145,21 +145,21 @@ def dequantize_rows(q: jax.Array, scales, zeros, n_bit: int, dtype):
 
 
 def _pack_last(q: jax.Array, per_byte: int, n_bit: int) -> jax.Array:
-    shape = q.shape[:-1] + (q.shape[-1] // per_byte, per_byte)
-    qr = q.reshape(shape).astype(jnp.uint32)
-    shifts = (jnp.arange(per_byte, dtype=jnp.uint32) * n_bit)[
-        (None,) * (qr.ndim - 1)
-    ]
-    return jnp.sum(qr << shifts, axis=-1).astype(jnp.uint8)
+    """Half-split (segment) packing: byte j's bit-range s holds the value at
+    position j + s*(D/per_byte). Segments concatenate — never interleave —
+    so the Pallas decode-attention kernel unpacks with shifts + a lane
+    concat (ops/pallas_decode_attn.py::_dequant)."""
+    Dh = q.shape[-1] // per_byte
+    qr = q.reshape(q.shape[:-1] + (per_byte, Dh)).astype(jnp.uint32)
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint32) * n_bit)[:, None]
+    return jnp.sum(qr << shifts, axis=-2).astype(jnp.uint8)
 
 
 def _unpack_last(p: jax.Array, per_byte: int, n_bit: int) -> jax.Array:
     mask = (1 << n_bit) - 1
-    pe = p.astype(jnp.uint32)[..., None]
-    shifts = (jnp.arange(per_byte, dtype=jnp.uint32) * n_bit)[
-        (None,) * (pe.ndim - 1)
-    ]
-    vals = (pe >> shifts) & mask
+    pe = p.astype(jnp.uint32)[..., None, :]
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint32) * n_bit)[:, None]
+    vals = (pe >> shifts) & mask  # [..., per_byte, Dh]
     return vals.reshape(p.shape[:-1] + (p.shape[-1] * per_byte,)).astype(
         jnp.uint8
     )

@@ -1,0 +1,188 @@
+"""Fused decode attention over a *quantized* KV cache (Pallas TPU).
+
+With ``--cache_bits`` set, the XLA path dequantizes the whole cache to bf16
+in HBM every decode step (caches/base.py::materialize_kv) — the exact slow
+path the reference pays (reference: cache.py:323-339, quantized K/V are
+dequantized wholesale each forward). Here the packed cache rides HBM->VMEM
+in its quantized form and is dequantized on the VPU inside the kernel, so a
+cache_bits=8 cache streams HALF the bytes of a bf16 cache (int4: quarter)
+and nothing quantization-related ever round-trips HBM.
+
+Layout notes:
+* grid = (B, KVH); each program owns one (batch, kv head): its packed K/V
+  [C, D / packing], the 8-row query group block (G real rows, zero-padded),
+  and a [8, C] f32 "meta" block carrying k_scale / k_zero' / v_scale /
+  v_zero' / mask as rows (sublane-padded - Mosaic wants >= 8 sublanes).
+* zero' = zero - 2^(bits-1) * scale folds the unsigned-storage offset into
+  the affine constant, so dequant is one fused multiply-add per element.
+* The group-pooled probabilities (heavy-hitter et al. consume [B, KVH, C])
+  are averaged over the G real rows in-kernel and written as row 0 of a
+  sublane-padded [8, C] output block.
+
+Numerics match materialize_kv + ops/attention.py::gqa_attention to bf16
+rounding (scores in f32, same softmax; V-aggregation in bf16 like the XLA
+path's einsum).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _dequant(q_ref_slice, scale, zero_p, bits: int):
+    """Unpack + affine-dequant a packed [C, D/packing] uint8 block to f32
+    [C, D]. ``zero_p`` already absorbs the -2^(bits-1)*scale offset."""
+    p = q_ref_slice.astype(jnp.int32)
+    if bits == 8:
+        vals = p.astype(jnp.float32)
+    else:
+        # Half-split packing along D: segment s holds bit range s*bits.
+        per = 8 // bits
+        mask = (1 << bits) - 1
+        segs = [((p >> (s * bits)) & mask).astype(jnp.float32)
+                for s in range(per)]
+        vals = jnp.concatenate(segs, axis=-1)
+    return vals * scale[:, None] + zero_p[:, None]
+
+
+def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, G, scale,
+            bits, need_attn):
+    q = q_ref[0, 0]  # [8, D] bf16 (rows >= G are zero)
+    meta = meta_ref[0, 0]  # [8, C] f32
+    sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+
+    kf = _dequant(kq_ref[0, 0], sk, zk, bits)  # [C, D] f32
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [8, C]
+    s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / l  # [8, C] f32
+
+    if need_attn:
+        pooled = jnp.sum(probs[:G], axis=0) * (1.0 / G)  # [C]
+        p_ref[0, 0] = jnp.concatenate(
+            [pooled[None, :], jnp.zeros((7, pooled.shape[0]), jnp.float32)],
+            axis=0,
+        )
+
+    vf = _dequant(vq_ref[0, 0], sv, zv, bits)  # [C, D] f32
+    o = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "need_attn", "interpret")
+)
+def quantized_decode_attention(
+    q: jax.Array,      # [B, H, 1, D] (bf16/f32)
+    kq: jax.Array,     # [B, KVH, C, D/packing] uint8
+    vq: jax.Array,
+    k_scales: jax.Array,  # [B, KVH, C] f32
+    k_zeros: jax.Array,
+    v_scales: jax.Array,
+    v_zeros: jax.Array,
+    mask: jax.Array,   # [B, KVH, C] bool
+    bits: int = 8,
+    need_attn: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Returns (out [B, H, 1, D], pooled attn [B, KVH, 1, C] | None),
+    matching gqa_attention's decode contract."""
+    B, H, _, D = q.shape
+    KVH, C = kq.shape[1], kq.shape[2]
+    G = H // KVH
+    scale = 1.0 / math.sqrt(D)
+
+    qf = q.reshape(B, KVH, G, D)
+    if G < 8:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 8 - G), (0, 0)))
+    qf = qf.astype(jnp.bfloat16)
+
+    off = float(2 ** (bits - 1))
+    meta = jnp.stack(
+        [
+            k_scales,
+            k_zeros - off * k_scales,
+            v_scales,
+            v_zeros - off * v_scales,
+            mask.astype(jnp.float32),
+        ],
+        axis=2,
+    )  # [B, KVH, 5, C]
+    meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 3), (0, 0)))
+
+    Dp = kq.shape[3]
+    kernel = functools.partial(
+        _kernel, G=G, scale=scale, bits=bits, need_attn=need_attn
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, KVH, 8, C), jnp.float32),
+    ]
+    y, pooled = pl.pallas_call(
+        kernel,
+        grid=(B, KVH),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, Dp), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, Dp), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, C), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, C), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * C * D,
+            bytes_accessed=2 * B * KVH * C * Dp + B * KVH * C * 4 * 4,
+            transcendentals=B * KVH * 8 * C,
+        ),
+    )(qf, kq, vq, meta)
+
+    out = (
+        y[:, :, :G]
+        .reshape(B, H, 1, D)
+        .astype(q.dtype)
+    )
+    if not need_attn:
+        return out, None
+    return out, pooled[:, :, 0][:, :, None, :]  # [B, KVH, 1, C]
+
+
+def decode_attn_supported(spec, q_shape, C: int) -> bool:
+    """Gate: real TPU, lane-aligned cache length / head dim, supported
+    packing, single-token decode."""
+    if jax.default_backend() != "tpu":
+        return False
+    B, H, L, D = q_shape
+    return (
+        L == 1
+        and spec.cache_bits in (8, 4, 2)
+        and C % 128 == 0
+        and D % 128 == 0
+    )
