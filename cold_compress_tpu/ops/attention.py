@@ -118,6 +118,14 @@ def prefill_attention(
     padded cache slots carry mask=False).
     """
     B, H, P, D = q.shape
+    from .pallas_prefill import flash_prefill, flash_prefill_supported
+
+    if flash_prefill_supported(q.shape):
+        # Fused flash(+summaries) kernel: probabilities never leave VMEM and
+        # repeated GQA heads are never materialized (ops/pallas_prefill.py).
+        return flash_prefill(
+            q, k, v, prompt_len, need_summary=need_summary, obs_len=obs_len
+        )
     if not need_summary:
         flash = _maybe_flash(q, k, v)
         if flash is not None:
