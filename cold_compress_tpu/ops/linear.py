@@ -29,13 +29,33 @@ import jax.numpy as jnp
 @dataclass
 class QuantizedWeight:
     """Self-describing quantized weight leaf (kind/group_size are static so
-    the pytree jits cleanly)."""
+    the pytree jits cleanly).
+
+    ``idx`` marks a *stacked* leaf: arrays carry a leading layer axis and
+    ``idx`` selects the layer. The scan-over-layers path uses this so the
+    Pallas kernels index the layer inside the kernel (BlockSpec prefetch)
+    instead of XLA materializing a per-step copy of the sliced weights.
+    """
 
     w: jax.Array
     scales: jax.Array
     zeros: Optional[jax.Array] = None
+    idx: Optional[jax.Array] = None
     kind: str = field(default="int8", metadata=dict(static=True))
     group_size: int = field(default=128, metadata=dict(static=True))
+
+    def resolved(self) -> "QuantizedWeight":
+        """Materialize the selected layer of a stacked leaf (XLA fuses the
+        slice into elementwise/dot consumers)."""
+        if self.idx is None:
+            return self
+        take = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(  # noqa: E731
+            a, self.idx, axis=0, keepdims=False
+        )
+        return dataclasses.replace(
+            self, w=take(self.w), scales=take(self.scales),
+            zeros=take(self.zeros), idx=None,
+        )
 
 
 def is_quantized(x) -> bool:
@@ -44,27 +64,38 @@ def is_quantized(x) -> bool:
 
 def unpack_int4(packed: jax.Array, axis: int = 0) -> jax.Array:
     """Unpack two 4-bit values per byte along ``axis``, half-split layout:
-    low nibbles hold rows [0, n), high nibbles rows [n, 2n). This layout
-    lets the Pallas dequant-matmul kernel unpack with a concatenate instead
-    of a sublane interleave (ops/pallas_qmm.py).
+    low nibbles hold rows [0, n), high nibbles rows [n, 2n).
 
-    Values are unsigned in [0, 15] stored in a uint8 carrier.
+    Storage is int8 with a SIGNED high nibble (value q_hi - 8), so the
+    Pallas dual-dot kernel can feed packed bytes straight to the int8 MXU
+    (ops/pallas_qmm.py). Legacy uint8 buffers (both nibbles unsigned) are
+    accepted for checkpoint back-compat. Returns unsigned values [0, 15].
     """
-    p = packed.astype(jnp.uint8)
+    p = to_signed_pack(packed).astype(jnp.int32)
     lo = (p & 0x0F).astype(jnp.uint8)
-    hi = ((p >> 4) & 0x0F).astype(jnp.uint8)
+    hi = ((p >> 4) + 8).astype(jnp.uint8)  # arithmetic shift: signed q-8
     return jnp.concatenate([lo, hi], axis=axis)
 
 
 def pack_int4(vals: jax.Array, axis: int = 0) -> jax.Array:
-    """Pack 4-bit values (in [0,15]) into bytes along ``axis``: byte r holds
-    row r (low nibble) and row r + n/2 (high nibble)."""
+    """Pack 4-bit values (in [0,15]) into int8 bytes along ``axis``: byte r
+    holds row r in the low nibble (unsigned) and row r + n/2 in the high
+    nibble stored signed as (q - 8)."""
     n = vals.shape[axis]
     assert n % 2 == 0
-    v = vals.astype(jnp.uint8)
+    v = vals.astype(jnp.int32)
     lo = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
     hi = jax.lax.slice_in_dim(v, n // 2, n, axis=axis)
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    byte = lo | (((hi - 8) & 0xF) << 4)  # bits of ((q_hi-8)<<4)|q_lo
+    return jnp.where(byte >= 128, byte - 256, byte).astype(jnp.int8)
+
+
+def to_signed_pack(packed: jax.Array) -> jax.Array:
+    """Convert a legacy unsigned-nibble uint8 pack to the signed-hi int8
+    layout (bitwise: flip the top bit). No-op for int8 input."""
+    if packed.dtype == jnp.int8:
+        return packed
+    return jax.lax.bitcast_convert_type(packed ^ 0x80, jnp.int8)
 
 
 def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
@@ -128,37 +159,32 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
+        from .pallas_qmm import qmm_w4a8, qmm_w4a8_stacked, w4a8_supported
+
+        if w_leaf.kind == "int4" and w4a8_supported(x2.shape, w_leaf):
+            if w_leaf.idx is not None:  # stacked: layer indexed in-kernel
+                y = qmm_w4a8_stacked(
+                    x2, w_leaf.w, w_leaf.scales, w_leaf.zeros, w_leaf.idx,
+                    group_size=w_leaf.group_size,
+                )
+            else:
+                y = qmm_w4a8(
+                    x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
+                    group_size=w_leaf.group_size,
+                )
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        # All remaining paths are XLA — dynamic slices of stacked leaves
+        # fuse into their consumers, so resolving here costs no copy.
+        w_leaf = w_leaf.resolved()
         # Decode-sized rows only: at prefill sizes the barriers would
         # materialize [P, out] int32/f32 intermediates, so large-L int8
         # matmuls take the per-layer dequant path below (transient bf16
         # weights for one layer at a time under the layer scan).
         if w_leaf.kind == "int8" and on_tpu and x2.shape[0] <= 32:
             y = w8a8_matmul(x2, w_leaf)
-            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
-            if bias is not None:
-                y = y + bias.astype(y.dtype)
-            return y
-        from .pallas_qmm import (
-            qmm_int4,
-            qmm_supported,
-            qmm_w4a8,
-            w4a8_supported,
-        )
-
-        if w_leaf.kind == "int4" and w4a8_supported(x2.shape, w_leaf):
-            y = qmm_w4a8(
-                x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
-                group_size=w_leaf.group_size,
-            )
-            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
-            if bias is not None:
-                y = y + bias.astype(y.dtype)
-            return y
-        if w_leaf.kind == "int4" and qmm_supported(x2.shape, w_leaf):
-            y = qmm_int4(
-                x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
-                group_size=w_leaf.group_size,
-            )
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
                 y = y + bias.astype(y.dtype)

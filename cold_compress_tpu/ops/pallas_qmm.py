@@ -1,20 +1,30 @@
-"""Pallas TPU kernel: fused dequantize + matmul for weight-only int8/int4.
+"""Pallas TPU kernel: fused dequantize + matmul for weight-only int4 (W4A8).
 
 The decode hot path is weight-bandwidth-bound: at batch 1 every token reads
-all weights once. The XLA fallback (ops/linear.py) materializes the
-dequantized bf16 weights in HBM each step — 4x (int4) the optimal traffic.
-This kernel streams the *packed* weights through VMEM in (TI x TO) tiles,
-dequantizes on-chip, and accumulates partial matmuls in an f32 VMEM scratch,
-so HBM traffic is the packed bytes only.
+all weights once, so the kernel must stream the *packed* bytes at HBM speed.
+Two design points measured on this backend (scripts/perf_probe2.py):
+
+* Dual-dot unpack: the packed byte is stored as int8 with a SIGNED high
+  nibble, b = ((q_hi - 8) << 4) | q_lo, so the byte feeds the int8 MXU
+  directly for the hi plane:  dot(x_hi, b) = 16*dot(x_hi, h) + dot(x_hi, l).
+  Only the low nibble needs a VPU op (one int8 `& 0xF`). Three MXU dots per
+  group replace two dots + a 6-op/byte int32-hop unpack (the MXU is idle at
+  decode sizes; the VPU is not).
+* Scan-over-layers feeds custom calls through XLA dynamic-slices, which
+  MATERIALIZE a copy of each layer's weights every step (~3x HBM traffic —
+  measured 230 GB/s effective vs the 712 GB/s the same part streams for a
+  fused XLA dot). The stacked variant therefore takes the WHOLE [L, ...]
+  weight stack plus the layer index as a scalar-prefetch argument and lets
+  the BlockSpec index maps fetch that layer's tiles straight from HBM.
 
 TPU-native replacement for the reference's ``aten._weight_int4pack_mm`` CUDA
 kernel (reference: quantize.py:414-425, SURVEY.md §2.9).
 
-Layouts (matching quantization/weight_quant.py):
-  int8: w  int8 [in, out], scales f32 [out];  y = (x @ w) * scales
-  int4: w  uint8 [in//2, out] — two nibbles per byte along the *in* axis
-        (row 2r holds low nibbles, row 2r+1 high); scales/zeros [in/gs, out];
-        dequant = (q - 8) * scale + zero
+Layouts (matching quantization/weight_quant.py / ops/linear.py::pack_int4):
+  w  int8 [in//2, out] — byte r packs weight rows r (low nibble, unsigned
+     0..15) and r + in/2 (high nibble, SIGNED value q-8 in -8..7).
+  scales/zeros f32 [in/group_size, out]; groups 0..in/2/gs-1 cover the low
+     rows, the rest the high rows. dequant = (q - 8) * scale + zero.
 """
 
 from __future__ import annotations
@@ -27,64 +37,74 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_OUT = 256
-TILE_IN = 512
 
 
-def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
-    i = pl.program_id(1)
+def _w4a8_kernel(idx_ref, xlo_ref, xhi_ref, xsl_ref, xsh_ref, w_ref, s_ref,
+                 z_ref, o_ref, *, group_size, n_groups_half, groups_per_chunk,
+                 rows_l):
+    """Block-diagonal dual-dot W4A8 for one [INh, TO] packed tile.
 
-    @pl.when(i == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    The decode matmul has only L<=8 activation rows — a plain per-group dot
+    wastes 15/16 of the MXU's 128-row systolic array and goes pass-bound at
+    ~176 GB/s (measured). Here the activations arrive *block-diagonal*:
+    row (g*L + l) of ``xlo/xhi`` holds query row l's slice for group g and
+    zeros elsewhere, so ONE [128, CH] @ [CH, TO] int8 dot yields every
+    group's partial product separately (the zero blocks contribute nothing):
 
-    # Mosaic lacks direct int8->bf16 casts; hop through int32/f32.
-    w = w_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(
-        x_ref[...], w, preferred_element_type=jnp.float32
-    )
+      Phb = Xbd_hi . b      (packed byte, signed-hi nibble: no unpack)
+      Pll = Xbd_lo . l      (l = b & 0xF, the only VPU op per byte)
+      Phl = Xbd_hi . l
+      acc = sum_g  s_lo[g] * Pll[g] + s_hi[g]/16 * (Phb - Phl)[g]
+          + zero-point terms from the activation row-sums.
 
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _():
-        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+    3 big dots replace 3*ngh tiny ones: full MXU rows, no per-dot overhead.
+    """
+    ngh, ngc, L = n_groups_half, groups_per_chunk, rows_l
+    gs = group_size
+    TO = w_ref.shape[-1]
+    CH = ngc * gs
+    n_chunks = -(-ngh // ngc)
+
+    acc = jnp.zeros((L, TO), jnp.float32)
+    for c in range(n_chunks):
+        g0 = c * ngc
+        ng = min(ngc, ngh - g0)
+        rows = ng * L
+        xlo = xlo_ref[pl.ds(g0 * L, rows), : ng * gs]
+        xhi = xhi_ref[pl.ds(g0 * L, rows), : ng * gs]
+        b = w_ref[0, pl.ds(g0 * gs, ng * gs), :]
+        lo = b & 0xF
+        phb = jnp.dot(xhi, b, preferred_element_type=jnp.int32)
+        pll = jnp.dot(xlo, lo, preferred_element_type=jnp.int32)
+        phl = jnp.dot(xhi, lo, preferred_element_type=jnp.int32)
+        s_lo = s_ref[0, pl.ds(g0, ng), :].astype(jnp.float32)  # [ng, TO]
+        s_hi = s_ref[0, pl.ds(ngh + g0, ng), :].astype(jnp.float32)
+        term = (
+            pll.astype(jnp.float32).reshape(ng, L, TO) * s_lo[:, None, :]
+            + (phb - phl).astype(jnp.float32).reshape(ng, L, TO)
+            * (s_hi * 0.0625)[:, None, :]
+        )
+        acc += jnp.sum(term, axis=0)
+
+    # Affine zero-point terms over all groups: [L, ngh] @ [ngh, TO] f32 dots.
+    s_all = s_ref[0].astype(jnp.float32)  # [2*ngh, TO]
+    z_all = z_ref[0].astype(jnp.float32)
+    zterm_lo = z_all[:ngh] - 8.0 * s_all[:ngh]
+    acc += jnp.dot(xsl_ref[...], zterm_lo)  # [L, ngh] @ [ngh, TO]
+    acc += jnp.dot(xsh_ref[...], z_all[ngh:])
+    o_ref[...] = acc
 
 
-def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
-                 *, group_size):
-    # Half-split packing: the packed byte block [TIh, TO] carries weight rows
-    # [i*TIh, (i+1)*TIh) in its low nibbles and rows [IN/2 + i*TIh, ...) in
-    # its high nibbles, so unpacking is two masked casts — no sublane
-    # interleave/relayout. Each grid step therefore contracts TWO row tiles:
-    #   acc += x_lo @ deq(lo) + x_hi @ deq(hi)
-    # s/z refs: [IN/gs, TO] f32 full; sliced at 8-aligned group offsets.
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    TIh, TO = w_ref.shape
-    ng = TIh // group_size  # groups per half-tile (multiple of 8 by _tiles)
-    half_groups = s_ref.shape[0] // 2
-    packed = w_ref[...].astype(jnp.int32)
-    lo = (packed & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
-
-    def deq(q, g0):
-        s = s_ref[pl.ds(g0, ng), :].astype(jnp.bfloat16)
-        z = z_ref[pl.ds(g0, ng), :].astype(jnp.bfloat16)
-        return (q.reshape(ng, group_size, TO) - 8.0) * s[:, None, :] + z[
-            :, None, :
-        ]
-
-    w_lo = deq(lo, i * ng).reshape(TIh, TO)
-    w_hi = deq(hi, half_groups + i * ng).reshape(TIh, TO)
-    acc_ref[...] += jnp.dot(
-        x_lo_ref[...], w_lo, preferred_element_type=jnp.float32
-    ) + jnp.dot(x_hi_ref[...], w_hi, preferred_element_type=jnp.float32)
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+def _quantize_rows(x):
+    """Per-row dynamic int8 activation quantization (scale absorbed in the
+    caller's epilogue)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    # Keep the quantization un-fused from the int8 dots (fusing demotes the
+    # MXU int8 path; measured in round 1).
+    return jax.lax.optimization_barrier(xq), sx
 
 
 def _pad_rows(x, mult: int = 8):
@@ -95,210 +115,104 @@ def _pad_rows(x, mult: int = 8):
     return x, L
 
 
-def _tiles(IN: int, OUT: int, group_size: int):
-    # For int4, each grid step processes a HALF-tile of TIh rows from each
-    # half; scale-row slice starts must be provably 8-aligned, so TIh spans
-    # 8 groups (or a whole half, where the only start is 0).
-    if group_size == 1:  # int8: no group constraint
-        ti = TILE_IN if IN % TILE_IN == 0 else IN
-    else:
-        ti = 8 * group_size
-        if (IN // 2) % ti != 0:
-            ti = IN // 2
-    to = TILE_OUT if OUT % TILE_OUT == 0 else (
-        128 if OUT % 128 == 0 else OUT
-    )
-    if ti >= 8192 and to > 128 and OUT % 128 == 0:
-        to = 128  # bound VMEM for full-IN fallback tiles
-    return ti, to
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "tile_out")
+)
+def qmm_w4a8_stacked(x, w_stack, s_stack, z_stack, layer_idx,
+                     group_size: int = 128, interpret: bool = False,
+                     tile_out: int | None = None):
+    """x [L, IN] @ layer ``layer_idx`` of int4-packed stacks.
 
-
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def qmm_int4(x, w_packed, scales, zeros, group_size: int = 128):
-    """x [L, IN] @ int4-packed weights -> [L, OUT] (f32 accumulation)."""
-    x, true_L = _pad_rows(x)
-    L, IN = x.shape
-    OUT = w_packed.shape[1]
-    TIh, TO = _tiles(IN, OUT, group_size)
-    grid = (OUT // TO, (IN // 2) // TIh)
-    kernel = functools.partial(_int4_kernel, group_size=group_size)
-    xb = x.astype(jnp.bfloat16)
-    x_lo = xb[:, : IN // 2]
-    x_hi = xb[:, IN // 2 :]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, TIh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TIh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (TIh, TO), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (IN // group_size, TO), lambda j, i: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (IN // group_size, TO), lambda j, i: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (L, TO), lambda j, i: (0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, OUT), x.dtype),
-        scratch_shapes=[pltpu.VMEM((L, TO), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * IN * OUT,
-            bytes_accessed=IN * OUT // 2 + L * IN * 2 + L * OUT * 2,
-            transcendentals=0,
-        ),
-    )(x_lo, x_hi, w_packed, scales, zeros)[:true_L]
-
-
-@jax.jit
-def qmm_int8(x, w, scales):
-    """x [L, IN] @ int8 weights * scales -> [L, OUT]."""
-    x, true_L = _pad_rows(x)
-    L, IN = x.shape
-    OUT = w.shape[1]
-    TI, TO = _tiles(IN, OUT, 1)
-    grid = (OUT // TO, IN // TI)
-    return pl.pallas_call(
-        _int8_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, TI), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, TO), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TO), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (L, TO), lambda j, i: (0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, OUT), x.dtype),
-        scratch_shapes=[pltpu.VMEM((L, TO), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * IN * OUT,
-            bytes_accessed=IN * OUT + L * IN * 2 + L * OUT * 2,
-            transcendentals=0,
-        ),
-    )(x.astype(jnp.bfloat16), w, scales.reshape(1, OUT).astype(jnp.float32))[
-        :true_L
-    ]
-
-
-def _w4a8_kernel(xq_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *, group_size):
-    """int4 weights on the int8 MXU (W4A8).
-
-    One grid step per output tile: loop over quantization groups, unpack one
-    group's packed bytes (small int32 intermediates), and issue a native
-    int8 x int8 -> int32 MXU dot per (group, nibble-half). The affine
-    epilogue uses
-        y_g = s_g * (xq . q) + (z_g - 8 s_g) * rowsum(xq)
-    so scales/zeros never touch full weight tiles, and all slicing indices
-    are static. Grid-step count stays tiny (per-step overhead on this
-    backend is ~5us, so many small steps dominate runtime).
-    """
-    INh, TO = w_ref.shape
-    ngh = INh // group_size
-    L = xq_ref.shape[0]
-    acc = jnp.zeros((L, TO), jnp.float32)
-    for g in range(ngh):
-        pk = w_ref[g * group_size : (g + 1) * group_size, :].astype(jnp.int32)
-        for qv, gidx, col0 in (
-            ((pk & 0x0F), g, g * group_size),
-            (((pk >> 4) & 0x0F), ngh + g, INh + g * group_size),
-        ):
-            q = qv.astype(jnp.int8)
-            xg = xq_ref[:, col0 : col0 + group_size]
-            dot = jnp.dot(xg, q, preferred_element_type=jnp.int32).astype(
-                jnp.float32
-            )
-            sg = s_ref[gidx]
-            zg = z_ref[gidx]
-            rs = xs_ref[gidx]
-            acc += dot * sg[None, :] + rs[:, None] * (zg - 8.0 * sg)[None, :]
-    o_ref[...] = acc
-
-
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def qmm_w4a8(x, w_packed, scales, zeros, group_size: int = 128):
-    """x [L, IN] @ int4-packed weights via the int8 MXU.
-
-    Activation rows are dynamically quantized to int8 (per-row scale,
-    absorbed in the epilogue outside the kernel).
+    w_stack [NL, IN//2, OUT] int8 (signed-hi packing); s/z [NL, IN/gs, OUT].
+    The layer index rides as a scalar-prefetch arg so only that layer's
+    tiles are fetched — no whole-layer copy.
     """
     x, true_L = _pad_rows(x)
     L, IN = x.shape
     INh = IN // 2
-    OUT = w_packed.shape[1]
-    n_groups_total = IN // group_size
-    # Output tile bounded by VMEM: packed block INh x TO u8 (double-buffered).
-    TO = 256 if (INh * 256 <= 2 << 20 and OUT % 256 == 0) else 128
+    NL, _, OUT = w_stack.shape
+    gs = group_size
+    ngh = INh // gs
+    ngc = max(1, min(ngh, 128 // L))  # groups folded into one dot's rows
+    CH = ngc * gs
+    TO = tile_out or (TILE_OUT if OUT % TILE_OUT == 0 else 128)
+    assert OUT % TO == 0
 
-    xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    sx = jnp.maximum(absmax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    xq = jax.lax.optimization_barrier(xq)
-    xs = jnp.sum(
-        xq.reshape(L, n_groups_total, group_size).astype(jnp.float32), axis=-1
-    ).T  # [n_groups_total, L]
+    xq, sx = _quantize_rows(x)
+    xlo = xq[:, :INh]
+    xhi = xq[:, INh:]
+    rs = lambda a: jnp.sum(  # noqa: E731
+        a.reshape(L, ngh, gs).astype(jnp.float32), axis=-1
+    )  # [L, ngh]
+    xsl, xsh = rs(xlo), rs(xhi)
 
-    kernel = functools.partial(_w4a8_kernel, group_size=group_size)
-    y = pl.pallas_call(
-        kernel,
+    # Block-diagonal layout: row g*L + l carries query row l's group-g slice
+    # in local chunk columns [(g % ngc)*gs, ...), zeros elsewhere.
+    onehot = (
+        (jnp.arange(ngh)[:, None] % ngc) == jnp.arange(ngc)[None, :]
+    ).astype(jnp.int8)
+
+    def bd(xp):
+        xt = xp.reshape(L, ngh, gs).transpose(1, 0, 2)  # [ngh, L, gs]
+        full = onehot[:, None, :, None] * xt[:, :, None, :]
+        return full.reshape(ngh * L, CH)
+
+    xlo_bd = bd(xlo)
+    xhi_bd = bd(xhi)
+
+    kernel = functools.partial(
+        _w4a8_kernel, group_size=gs, n_groups_half=ngh,
+        groups_per_chunk=ngc, rows_l=L,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(OUT // TO,),
         in_specs=[
-            pl.BlockSpec((L, IN), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (n_groups_total, L), lambda j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((INh, TO), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (n_groups_total, TO), lambda j: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n_groups_total, TO), lambda j: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((ngh * L, CH), lambda j, idx: (0, 0)),
+            pl.BlockSpec((ngh * L, CH), lambda j, idx: (0, 0)),
+            pl.BlockSpec((L, ngh), lambda j, idx: (0, 0)),
+            pl.BlockSpec((L, ngh), lambda j, idx: (0, 0)),
+            pl.BlockSpec((1, INh, TO), lambda j, idx: (idx[0], 0, j)),
+            pl.BlockSpec((1, 2 * ngh, TO), lambda j, idx: (idx[0], 0, j)),
+            pl.BlockSpec((1, 2 * ngh, TO), lambda j, idx: (idx[0], 0, j)),
         ],
-        out_specs=pl.BlockSpec(
-            (L, TO), lambda j: (0, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((L, TO), lambda j, idx: (0, j)),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, OUT), jnp.float32),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * L * IN * OUT,
+            flops=3 * L * IN * OUT,
             bytes_accessed=IN * OUT // 2 + L * IN + L * OUT * 4,
             transcendentals=0,
         ),
-    )(xq, xs, w_packed, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    )(
+        jnp.asarray([layer_idx], jnp.int32),
+        xlo_bd, xhi_bd, xsl, xsh, w_stack, s_stack, z_stack,
+    )
     return (y * sx)[:true_L]
 
 
-def qmm_supported(x_2d_shape, w_leaf) -> bool:
-    """Shape/backend gate for the VPU-dequant fused kernel (decode sizes)."""
-    if jax.default_backend() != "tpu":
-        return False
-    L, IN = x_2d_shape
-    if L > 32:  # prefill-sized: dequant-once + MXU wins
-        return False
-    OUT = w_leaf.w.shape[1]
-    if w_leaf.kind == "int4" and IN % w_leaf.group_size != 0:
-        return False
-    return IN % 128 == 0 and OUT % 128 == 0
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def qmm_w4a8(x, w_packed, scales, zeros, group_size: int = 128,
+             interpret: bool = False):
+    """Single-layer wrapper: x [L, IN] @ int4-packed [IN//2, OUT]."""
+    return qmm_w4a8_stacked(
+        x, w_packed[None], scales[None], zeros[None], 0,
+        group_size=group_size, interpret=interpret,
+    )
 
 
 def w4a8_supported(x_2d_shape, w_leaf) -> bool:
-    """Gate for the int8-MXU int4 kernel: group blocks must be 8-aligned and
-    the tile set must fit the compiler's VMEM budget (very wide outputs such
-    as the 128k-vocab head take the XLA dequant path instead)."""
+    """Gate for the dual-dot kernel: decode-sized activations, MXU-aligned
+    dims, 8-aligned group blocks, and a VMEM-friendly output width (the
+    128k-vocab head takes the native-int8-dot path instead)."""
     if jax.default_backend() != "tpu":
         return False
     L, IN = x_2d_shape
-    OUT = w_leaf.w.shape[1]
+    OUT = w_leaf.w.shape[-1]
     gs = w_leaf.group_size
     return (
         w_leaf.kind == "int4"
@@ -306,5 +220,10 @@ def w4a8_supported(x_2d_shape, w_leaf) -> bool:
         and IN % 256 == 0
         and OUT % 128 == 0
         and OUT <= 32768
-        and (IN // 2) % (8 * gs) == 0
+        and (IN // 2) % gs == 0
     )
+
+
+# Back-compat alias consumed by older call sites/tests.
+def qmm_supported(x_2d_shape, w_leaf) -> bool:
+    return w4a8_supported(x_2d_shape, w_leaf)

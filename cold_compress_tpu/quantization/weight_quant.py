@@ -162,8 +162,12 @@ def random_quantized_params(
                 kind="int8",
             )
         assert mode == "int4"
+        # Random bytes are equally random reinterpreted in the signed-hi
+        # int8 packing (ops/linear.py::pack_int4).
         return QuantizedWeight(
-            w=jnp.asarray(rand_bytes((in_dim // 2, out_dim), np.uint8)),
+            w=jnp.asarray(
+                rand_bytes((in_dim // 2, out_dim), np.uint8).view(np.int8)
+            ),
             scales=jnp.full(
                 (in_dim // group_size, out_dim), 0.02 / 8, jnp.float32
             ),

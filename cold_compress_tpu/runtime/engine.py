@@ -75,6 +75,10 @@ def build_cache_specs(
         cfg.n_layer,
         kw.get("cache_strategy_pattern", "tile"),
     )
+    from ..caches import get_cache_strategy
+
+    for s in set(strategies):
+        get_cache_strategy(s)  # fail fast on unknown names
     prompt_strategies = apply_pattern(
         _as_list(kw.get("prompt_compression_strategy", ["recent_global"])),
         cfg.n_layer,
@@ -226,8 +230,14 @@ def _listify(node):
     if isinstance(node, dict):
         if "qmeta" in node:
             bits, group_size = (int(x) for x in np.asarray(node["qmeta"]))
+            w = node["w"]
+            if bits == 4 and w.dtype == jnp.uint8:
+                # Legacy unsigned-nibble checkpoints -> signed-hi packing.
+                from ..ops.linear import to_signed_pack
+
+                w = to_signed_pack(w)
             return QuantizedWeight(
-                w=node["w"],
+                w=w,
                 scales=node["scales"],
                 zeros=node.get("zeros"),
                 kind=f"int{bits}",

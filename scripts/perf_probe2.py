@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.append(str(Path(__file__).parent))
+sys.path.append(str(Path(__file__).parent.parent))
 from cold_compress_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
 setup_jax()
@@ -65,44 +66,34 @@ def graph_time(call, x0, extra_args, iters=ITERS, reps=3):
                 copies.append(base * (1.0 + 1e-3 * rng.rand()))
         stacks.append(jnp.asarray(np.stack(copies)))
 
-    def make_run(n):
-        @jax.jit
-        def run(x0, *stks):
-            def body(carry, i):
-                acc, x = carry
-                args_i = [
-                    jax.lax.dynamic_index_in_dim(
-                        s, i % K, axis=0, keepdims=False
-                    )
-                    for s in stks
-                ]
-                y = call(x + acc * 1e-20, *args_i)  # acc-dep serializes
-                return (acc + jnp.sum(y).astype(jnp.float32), x), None
+    iters = max(iters, 1024)  # dispatch (~3.5 ms) amortizes to ~3 us/iter
 
-            (acc, _), _ = jax.lax.scan(
-                body, (jnp.float32(0.0), x0), jnp.arange(n)
-            )
-            return acc
+    @jax.jit
+    def run(x0, *stks):
+        def body(carry, i):
+            acc, x = carry
+            args_i = [
+                jax.lax.dynamic_index_in_dim(
+                    s, i % K, axis=0, keepdims=False
+                )
+                for s in stks
+            ]
+            y = call(x + acc * 1e-20, *args_i)  # acc-dep serializes
+            return (acc + jnp.sum(y).astype(jnp.float32), x), None
 
-        return run
+        (acc, _), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), x0), jnp.arange(iters)
+        )
+        return acc
 
-    run_full = make_run(iters)
-    run_quarter = make_run(iters // 4)
-    xs = [x0 + 0.001 * (r + 1) for r in range(2 * reps + 2)]
-    jax.block_until_ready(run_full(xs[-1], *stacks))  # compile
-    jax.block_until_ready(run_quarter(xs[-2], *stacks))
-
-    def med(run, xlist):
-        ts = []
-        for xr in xlist:
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(xr, *stacks))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t_full = med(run_full, xs[:reps])
-    t_quarter = med(run_quarter, xs[reps: 2 * reps])
-    return max((t_full - t_quarter) / (iters - iters // 4), 1e-9)
+    xs = [x0 + 0.001 * (r + 1) for r in range(reps + 1)]
+    jax.block_until_ready(run(xs[-1], *stacks))  # compile
+    ts = []
+    for xr in xs[:reps]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(xr, *stacks))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / iters
 
 
 def report(name, secs, bytes_streamed=None, **extra):
@@ -225,6 +216,63 @@ def stage_v2b():
                rel_err=round(err, 6))
 
 
+def stage_stacked():
+    """THE decode-path measurement: the whole [K, ...] weight stack is the
+    pallas operand and the layer index is scalar-prefetched, so no per-step
+    slice copy exists (unlike graph_time, whose harness slices outside the
+    kernel — that's what the model's scan used to do and what stage_micro
+    still measures)."""
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_stacked
+
+    rng = np.random.RandomState(0)
+    shapes = [(4096, 14336), (14336, 4096), (4096, 4096), (4096, 6144)]
+    tiles = {(4096, 14336): (256, 512, 1024, 1792, 3584)}
+    iters = 1024
+    for IN, OUT in shapes:
+        nbytes = IN * OUT // 2
+        K = max(2, min(32, -(-MIN_WORKING_SET // nbytes)))
+        wr = np.random.RandomState(1)
+        w = jnp.asarray(
+            wr.randint(0, 256, size=(K, IN // 2, OUT), dtype=np.uint8)
+            .view(np.int8)
+        )
+        s = jnp.asarray(
+            np.full((K, IN // 128, OUT), 0.02 / 8, np.float32)
+        )
+        z = jnp.asarray(np.zeros((K, IN // 128, OUT), np.float32))
+        x0 = jnp.asarray(rng.randn(8, IN).astype(np.float32) / 32)
+        for to in tiles.get((IN, OUT), (None,)):
+            if to is not None and OUT % to:
+                continue
+
+            @functools.partial(jax.jit, static_argnames=("to",))
+            def run(x0, w, s, z, to=None):
+                def body(carry, i):
+                    acc, x = carry
+                    y = qmm_w4a8_stacked(
+                        x + acc * 1e-20, w, s, z, i % K, tile_out=to
+                    )
+                    return (acc + jnp.sum(y).astype(jnp.float32), x), None
+
+                (acc, _), _ = jax.lax.scan(
+                    body, (jnp.float32(0.0), x0), jnp.arange(iters)
+                )
+                return acc
+
+            try:
+                jax.block_until_ready(run(x0 + 1.0, w, s, z, to=to))
+                ts = []
+                for r in range(3):
+                    xr = x0 + 0.001 * (r + 1)
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(run(xr, w, s, z, to=to))
+                    ts.append(time.perf_counter() - t0)
+                t = float(np.median(ts)) / iters
+                report(f"g_stk_{IN}x{OUT}_to{to}", t, bytes_streamed=nbytes)
+            except Exception as e:  # noqa: BLE001
+                report(f"g_stk_{IN}x{OUT}_to{to}", 1.0, error=str(e)[:200])
+
+
 def stage_attn():
     from cold_compress_tpu.ops.attention import gqa_attention
 
@@ -251,6 +299,59 @@ def stage_attn():
                bytes_streamed=2 * B * KVH * S * D * 2)
 
 
+def stage_prefill():
+    """flash_prefill vs chunked XLA prefill at the north-star shape.
+    Direct host timing: one call is tens of ms, dispatch is noise."""
+    from cold_compress_tpu.ops.attention import prefill_attention
+    from cold_compress_tpu.ops.pallas_prefill import flash_prefill
+
+    rng = np.random.RandomState(0)
+    B, KVH, G, D, P = 1, 8, 4, 128, 8192
+    H = KVH * G
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        q = jnp.asarray(r.randn(B, H, P, D).astype(np.float32) / 8).astype(
+            jnp.bfloat16
+        )
+        k = jnp.asarray(r.randn(B, KVH, P, D).astype(np.float32) / 8).astype(
+            jnp.bfloat16
+        )
+        v = jnp.asarray(r.randn(B, KVH, P, D).astype(np.float32) / 8).astype(
+            jnp.bfloat16
+        )
+        return q, k, v
+
+    sets = [mk(s) for s in range(3)]
+    plen = jnp.int32(P - 64)
+    valid = jnp.broadcast_to(jnp.arange(P)[None, :] < plen, (B, P))
+
+    for nm, fn in (
+        ("flash_prefill_sum", jax.jit(
+            lambda q, k, v: flash_prefill(q, k, v, plen, need_summary=True)
+        )),
+        ("flash_prefill_nosum", jax.jit(
+            lambda q, k, v: flash_prefill(q, k, v, plen, need_summary=False)
+        )),
+        ("chunked_prefill_sum", jax.jit(
+            lambda q, k, v: prefill_attention(
+                q, k, v, valid, plen, need_summary=True
+            )
+        )),
+    ):
+        try:
+            jax.block_until_ready(fn(*sets[-1]))
+            ts = []
+            for s in sets:
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*s))
+                ts.append(time.perf_counter() - t0)
+            t = float(np.median(ts))
+            report(nm, t, toks_per_s=round(P / t, 1))
+        except Exception as e:  # noqa: BLE001
+            report(nm, 1.0, error=str(e)[:300])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="micro,streams,v2b,attn")
@@ -259,7 +360,8 @@ def main():
     for st in args.stage.split(","):
         t0 = time.time()
         dict(micro=stage_micro, streams=stage_streams, v2b=stage_v2b,
-             attn=stage_attn)[st]()
+             attn=stage_attn, prefill=stage_prefill,
+             stacked=stage_stacked)[st]()
         print(json.dumps({"stage": st, "wall_s": round(time.time() - t0, 1)}),
               flush=True)
 

@@ -208,13 +208,54 @@ def test_w8a8_matmul_close_to_dequant():
     assert np.abs(got - ref).max() / denom < 0.02
 
 
+def test_qmm_w4a8_stacked_matches_dequant():
+    """Dual-dot Pallas kernel (interpret mode) == dequantize + matmul, for
+    both the single-layer wrapper and the scalar-prefetch stacked variant."""
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8, qmm_w4a8_stacked
+    from cold_compress_tpu.quantization.weight_quant import (
+        quantize_weight_int4,
+    )
+
+    rng = np.random.RandomState(0)
+    IN, OUT, L = 256, 128, 3
+    leaves = [
+        quantize_weight_int4(
+            jnp.asarray(rng.randn(IN, OUT).astype(np.float32) * 0.05),
+            group_size=128,
+        )
+        for _ in range(L)
+    ]
+    x = jnp.asarray(rng.randn(8, IN).astype(np.float32))
+    w_stack = jnp.stack([lf.w for lf in leaves])
+    s_stack = jnp.stack([lf.scales for lf in leaves])
+    z_stack = jnp.stack([lf.zeros for lf in leaves])
+    for i, leaf in enumerate(leaves):
+        ref = np.asarray(x @ dequantize_weight(leaf, jnp.float32))
+        got1 = np.asarray(
+            qmm_w4a8(x, leaf.w, leaf.scales, leaf.zeros, interpret=True)
+        )
+        got2 = np.asarray(
+            qmm_w4a8_stacked(
+                x, w_stack, s_stack, z_stack, jnp.int32(i), interpret=True
+            )
+        )
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got1 - ref).max() / denom < 0.02, f"layer {i} single"
+        assert np.abs(got2 - ref).max() / denom < 0.02, f"layer {i} stacked"
+
+
 def test_half_split_pack_layout():
-    """pack_int4 byte r must hold row r (low nibble) and row r + n/2 (high),
-    the layout the Pallas kernel depends on."""
+    """pack_int4 byte r must hold row r (low nibble, unsigned) and row
+    r + n/2 (high nibble stored SIGNED as q-8), the layout the dual-dot
+    Pallas kernel depends on: dot(x, byte) = 16*dot(x, hi-8) + dot(x, lo)."""
     vals = jnp.arange(16, dtype=jnp.uint8).reshape(8, 2) % 16
     packed = pack_int4(vals, axis=0)
     assert packed.shape == (4, 2)
-    lo = np.asarray(packed) & 0x0F
-    hi = (np.asarray(packed) >> 4) & 0x0F
+    assert packed.dtype == jnp.int8
+    b = np.asarray(packed).astype(np.int32)
+    lo = b & 0x0F
+    hi_signed = b >> 4  # arithmetic shift recovers q_hi - 8
     np.testing.assert_array_equal(lo, np.asarray(vals[:4]))
-    np.testing.assert_array_equal(hi, np.asarray(vals[4:]))
+    np.testing.assert_array_equal(hi_signed + 8, np.asarray(vals[4:]))
+    # The MXU identity the kernel exploits.
+    np.testing.assert_array_equal(b, 16 * hi_signed + lo)
