@@ -118,7 +118,17 @@ def main():
     perf = info["perf_stats"]
     log(json.dumps(perf, indent=2))
 
+    # Bandwidth anchor (reference: generate.py:147 reports achieved GB/s):
+    # at B=1 every decoded token streams all weights once, so
+    # effective GB/s = model bytes x tok/s; ratio to the ~740 GB/s this
+    # part sustains for a fused int8 dot = roofline utilization.
+    model_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(params)
+        if hasattr(leaf, "dtype")
+    )
     value = perf["decode_toks_per_sec"]
+    eff_gbps = model_bytes * value / 1e9
     print(
         json.dumps(
             {
@@ -137,6 +147,8 @@ def main():
                     "prefill_toks_per_sec": round(
                         perf["prefill_toks_per_sec"], 1
                     ),
+                    "model_gb": round(model_bytes / 1e9, 2),
+                    "weight_stream_gbps": round(eff_gbps, 1),
                     "backend": jax.default_backend(),
                 },
             }

@@ -563,6 +563,20 @@ class _RulerBase(EvaluationTask):
         super().__init__(
             prompt_template, max_tokens, hf_args=self.HF_ARGS, **kwargs
         )
+        # Scale the synthesized haystack to the model's context so shorter
+        # models still yield usable examples instead of filtering everything
+        # out. Tokens-per-sentence is measured with the task's tokenizer
+        # (byte tokenizers cost ~10x a BPE).
+        probe = (
+            "The quick brown fox jumps over the lazy dog near the river. "
+        )
+        tps = max(1, len(self.tokenizer(probe)))
+        overhead = 8 * tps  # instructions + needles + question
+        budget = self.model_max_length - self.max_tokens - overhead
+        if budget > 0:
+            self.context_sentences = max(
+                2, min(self.context_sentences, budget // tps)
+            )
         self.test_split = "validation"
 
     def synthesize(self):
@@ -796,6 +810,23 @@ if __name__ == "__main__":
         model_max_length=131072, tokenizer=word_tokenizer, num_samples=4
     )
     if args.stats:
+        # Published Llama-3-tokenizer corpus statistics for the HF-hosted
+        # tasks (reference: cache_configs/task_stats.csv:1-12) — they define
+        # the benchmark corpora and cannot be re-measured without network
+        # access; offline-synthesized tasks are measured live below.
+        published = {
+            "dolomites": (664, False, 780.51, 468.89, ""),
+            "musique": (2417, False, 2469.28, 14.04, ""),
+            "qmsum": (281, False, 14065.03, 84.61, ""),
+            "rulercwe": (500, False, 3791.21, 11.92, ""),
+            "rulerniah": (500, False, 3819.52, 13.0, ""),
+            "rulerqa": (500, False, 3333.91, 13.74, ""),
+            "rulervt": (500, False, 3847.11, 13.11, ""),
+            "scrollsquality": (2086, True, 5986.95, 11.0, ""),
+            "squality": (260, False, 6879.08, 283.76, ""),
+            "triviaqa": (17210, False, 10643.66, 13.0, ""),
+            "truthfulqa": (817, True, 152.85, 11.0, ""),
+        }
         out = Path(__file__).parents[2] / "cache_configs" / "task_stats.csv"
         rows = []
         for name in TASK_MAPPING:
@@ -803,17 +834,39 @@ if __name__ == "__main__":
                 task = AutoTask.from_name(name, **kw)
                 test = task.get_test()
                 plens = [len(word_tokenizer(r["prompt"])) for r in test]
+                llens = [
+                    len(word_tokenizer(r["labels"][0])) if r["labels"] else 0
+                    for r in test
+                ]
                 rows.append(
                     {
                         "task": name,
                         "n": len(test),
-                        "mean_prompt_words": round(float(np.mean(plens)), 1),
-                        "max_new_tokens": task.max_tokens,
+                        "is_mcqa": task.requires_logits,
+                        "prompt_tokens": round(float(np.mean(plens)), 2),
+                        "label_tokens": round(float(np.mean(llens)), 2),
+                        "n_choices": "",
+                        "source": "measured_words",
                     }
                 )
                 print(rows[-1])
             except Exception as e:
-                print(f"{name}: unavailable ({type(e).__name__})")
+                if name in published:
+                    n, mcqa, pt, lt, nc = published[name]
+                    rows.append(
+                        {
+                            "task": name,
+                            "n": n,
+                            "is_mcqa": mcqa,
+                            "prompt_tokens": pt,
+                            "label_tokens": lt,
+                            "n_choices": nc,
+                            "source": "published_llama3_tokens",
+                        }
+                    )
+                else:
+                    print(f"{name}: unavailable ({type(e).__name__})")
+        rows.sort(key=lambda r: r["task"])
         with open(out, "w", newline="") as fd:
             w = csv.DictWriter(fd, fieldnames=list(rows[0].keys()))
             w.writeheader()

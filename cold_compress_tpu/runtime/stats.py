@@ -46,6 +46,12 @@ def get_cache_stats(caches, prompt_len: int, gen_len: int) -> Dict[str, Any]:
             ctr = int(extra_stats["attention_loss_ctr"])
             if ctr > 0:
                 layer_stats["attention_loss"] = float(losses[:ctr].mean())
+                # Running-average curve every 500 decode steps
+                # (reference: cache.py:1415-1419 ``attention_loss@k``).
+                for k in range(500, ctr, 500):
+                    layer_stats[f"attention_loss@{k}"] = float(
+                        losses[:k].mean()
+                    )
         if "strategy_idx" in extra_stats:
             sidx = np.asarray(extra_stats["strategy_idx"])
             layer_stats["avg_strategy_idx"] = float(sidx.mean())

@@ -76,6 +76,17 @@ def main(args) -> None:
     max_prompt_length, max_seq_length = compute_max_seq_length(
         cfg, [len(prompt_ids)], args.max_new_tokens
     )
+    if len(prompt_ids) >= max_seq_length:
+        # Keep room for at least one generated token; the eval harness
+        # filters over-long examples instead (evals/task.py), but this CLI
+        # is a debug tool and should degrade gracefully.
+        keep = max_seq_length - min(args.max_new_tokens, max_seq_length // 2)
+        print(
+            f"WARNING: prompt ({len(prompt_ids)} tokens) exceeds the model "
+            f"context ({cfg.block_size}); truncating to {keep} tokens."
+        )
+        prompt_ids = prompt_ids[:keep]
+        max_prompt_length = keep
     max_new_tokens = min(args.max_new_tokens, max_seq_length - max_prompt_length)
 
     token_ids = None
