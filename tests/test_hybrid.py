@@ -118,6 +118,61 @@ class TestHybrid:
         ct = np.asarray(LV(caches, 0).cache_ct)
         assert ct.min() > 0
 
+    def test_dummy_slot_drop_at_exact_occupancy(self):
+        """Regression (VERDICT r1 weak #5): a non-inserting (punc-only) head
+        at exact occupancy C must leave its cache byte-identical — slot C-1
+        holds a real row there, and the dummy-slot scatter used to overwrite
+        its K/V while a sibling 'full' head appends normally."""
+        C, KVH, D = 8, 2, 4
+        menu = [{"strategy": "special_punc"}, {"strategy": "full"}]
+        spec = CacheSpec(
+            cache_strategy="hybrid",
+            max_cache_length=C,
+            max_seq_length=64,
+            global_tokens=2,
+            hybrid_strategies=normalize_hybrid_strategies(menu),
+            token_ids_special=((9,),),
+            token_ids_punc=(46,),
+        )
+        state = HybridCache.init(spec, 1, KVH, D, jnp.float32)
+        # Hand-fill every slot of both heads: pos 0..C-1, distinguishable K/V.
+        kbuf = jnp.arange(C, dtype=jnp.float32)[None, None, :, None]
+        kbuf = jnp.broadcast_to(kbuf, (1, KVH, C, D))
+        extra = dict(state.extra)
+        extra["strategy_idx"] = jnp.asarray([[0, 1]], jnp.int32)
+        # punc head: 2 kept punc tokens -> budget = 2 global + 2 punc = 4 < C
+        extra["punc_mask"] = (
+            jnp.zeros((1, KVH, C), bool).at[0, 0, 2:4].set(True)
+        )
+        extra["num_punc"] = jnp.asarray([2], jnp.int32)
+        state = state.replace(
+            k=kbuf,
+            v=kbuf + 100.0,
+            pos=jnp.broadcast_to(jnp.arange(C)[None, None], (1, KVH, C)),
+            mask=jnp.ones((1, KVH, C), bool),
+            cache_ct=jnp.full((1, KVH), C, jnp.int32),
+            extra=extra,
+        )
+        before = tuple(
+            np.asarray(x).copy()
+            for x in (state.k, state.v, state.pos, state.mask)
+        )
+        new_row = jnp.full((1, KVH, 1, D), 99.0, jnp.float32)
+        state2, *_ = HybridCache.decode_update(
+            state, jnp.int32(C), new_row, new_row,
+            token=jnp.asarray([5], jnp.int32),  # not punctuation
+        )
+        # Punc head (0): byte-identical everywhere, occupancy unchanged.
+        for got, want in zip(
+            (state2.k, state2.v, state2.pos, state2.mask), before
+        ):
+            np.testing.assert_array_equal(np.asarray(got)[0, 0], want[0, 0])
+        assert int(state2.cache_ct[0, 0]) == C
+        # Full head (1): appended into the clamped last slot, ct stays at C.
+        assert float(np.asarray(state2.k)[0, 1, C - 1, 0]) == 99.0
+        assert int(np.asarray(state2.pos)[0, 1, C - 1]) == C
+        assert int(state2.cache_ct[0, 1]) == C
+
     def test_strategy_histogram_sums_to_one(self, tiny_model):
         cfg, params, rope = tiny_model
         specs, caches = hybrid_setup(cfg)
