@@ -7,8 +7,8 @@ describing a quantized weight (produced by ``cold_compress_tpu.quantization``):
       {"kind": "int8", "w": int8 [in, out], "scales": f32 [out]}
   int4 group-wise (reference: quantize.py:407-529):
       {"kind": "int4", "w": uint8/int8 packed [in//2, out] (two nibbles per
-       byte along the *in* axis), "scales": f32 [n_groups, out],
-       "zeros": f32 [n_groups, out], "group_size": int}
+       byte along the *in* axis), "scales": bf16 [n_groups, out],
+       "zeros": bf16 [n_groups, out], "group_size": int}
 
 ``linear`` dispatches on the leaf type so the same model code runs dense or
 quantized. The XLA path dequantizes inline (fused by the compiler); a Pallas

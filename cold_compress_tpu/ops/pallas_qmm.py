@@ -39,6 +39,23 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_OUT = 256
 
 
+def _pick_tile_out(INh: int, OUT: int) -> int:
+    """Largest MXU-aligned output tile whose packed-weight block fits a
+    ~2.5 MB VMEM budget (double-buffered under the ~16 MB v5e VMEM).
+
+    Grid steps carry ~2 us of fixed sequencing overhead each while a 256-wide
+    tile streams in <1 us — at decode sizes the kernel is STEP-bound, not
+    byte-bound (measured 14.3 ms/token at TO=256 vs the ~6 ms the same bytes
+    stream in). Fewer, fatter steps are strictly better until the block
+    breaks VMEM double-buffering.
+    """
+    budget = 2_621_440  # int8 bytes: [INh, TO] packed block
+    for cand in (1024, 512, 256, 128):
+        if OUT % cand == 0 and INh * cand <= budget:
+            return cand
+    return 128
+
+
 def _w4a8_kernel(idx_ref, xlo_ref, xhi_ref, xsl_ref, xsh_ref, w_ref, s_ref,
                  z_ref, o_ref, *, group_size, n_groups_half, groups_per_chunk,
                  rows_l):
@@ -135,7 +152,7 @@ def qmm_w4a8_stacked(x, w_stack, s_stack, z_stack, layer_idx,
     ngh = INh // gs
     ngc = max(1, min(ngh, 128 // L))  # groups folded into one dot's rows
     CH = ngc * gs
-    TO = tile_out or (TILE_OUT if OUT % TILE_OUT == 0 else 128)
+    TO = tile_out or _pick_tile_out(INh, OUT)
     assert OUT % TO == 0
 
     xq, sx = _quantize_rows(x)

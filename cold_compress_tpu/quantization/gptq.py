@@ -83,8 +83,8 @@ def gptq_quantize_matrix(
     packed = np.asarray(pack_int4(jnp.asarray(Q), axis=0))
     return QuantizedWeight(
         w=jnp.asarray(packed),
-        scales=jnp.asarray(scales),
-        zeros=jnp.asarray(zeros),
+        scales=jnp.asarray(scales, jnp.bfloat16),
+        zeros=jnp.asarray(zeros, jnp.bfloat16),
         kind="int4",
         group_size=group_size,
     )

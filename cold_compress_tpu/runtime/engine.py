@@ -161,9 +161,17 @@ def _flatten(params, prefix=""):
     flat = {}
     if isinstance(params, QuantizedWeight):
         flat[prefix + "w"] = np.asarray(params.w)
-        flat[prefix + "scales"] = np.asarray(params.scales)
+
+        def put(key, val):  # bf16 scales need the tagged-uint16 view too
+            arr = np.asarray(val)
+            if arr.dtype == _BF16:
+                flat[key + "#bf16"] = arr.view(np.uint16)
+            else:
+                flat[key] = arr
+
+        put(prefix + "scales", params.scales)
         if params.zeros is not None:
-            flat[prefix + "zeros"] = np.asarray(params.zeros)
+            put(prefix + "zeros", params.zeros)
         flat[prefix + "qmeta"] = np.array(
             [4 if params.kind == "int4" else 8, params.group_size]
         )

@@ -34,9 +34,14 @@ def get_cache_stats(caches, prompt_len: int, gen_len: int) -> Dict[str, Any]:
         # Host-side numpy (reference semantics: cache.py:271-281) — avoids
         # per-layer eager device programs during eval loops.
         n = max(final_seq_len - 1, 1)
-        size = np.asarray(cache.cache_ct).astype(np.float64)
-        if cache.spec.cache_bits is not None:
-            size = size * (cache.spec.cache_bits / 16.0)
+        extra = getattr(cache, "extra", None) or {}
+        # debug_* analysis caches: the outer cache keeps everything (ratio
+        # ~0 by construction); report the shadow compressed cache's ratio,
+        # like the reference's KVCacheAnalysis does (cache.py:1407-1420).
+        ratio_cache = extra.get("shadow", cache)
+        size = np.asarray(ratio_cache.cache_ct).astype(np.float64)
+        if ratio_cache.spec.cache_bits is not None:
+            size = size * (ratio_cache.spec.cache_bits / 16.0)
         layer_stats = {
             "compression_ratio": float(np.mean((n - size) / n)),
         }
