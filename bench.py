@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--budget_frac", type=float, default=0.25)
     ap.add_argument("--decode_tokens", type=int, default=256)
     ap.add_argument("--global_tokens", type=int, default=4)
+    ap.add_argument(
+        "--batch",
+        type=int,
+        default=1,
+        help="Lanes of batched generation (B>1 reports aggregate tok/s; "
+        "a first-class batch axis is beyond reference parity, "
+        "reference README.md:536-537 lists it as future work).",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -92,7 +100,8 @@ def main():
         },
         max_seq_length=args.context,
     )
-    caches = T.init_caches(cfg, specs, batch_size=1, dtype=jnp.bfloat16)
+    caches = T.init_caches(cfg, specs, batch_size=args.batch,
+                           dtype=jnp.bfloat16)
     if T.is_stacked(caches):
         params = T.stack_layer_params(params)
         log("using stacked (scan-over-layers) execution")
@@ -101,20 +110,34 @@ def main():
     rng = np.random.RandomState(0)
     prompt = rng.randint(5, cfg.vocab_size - 5, size=prompt_len).tolist()
 
+    if args.batch > 1:
+        from cold_compress_tpu.runtime.generate import generate_batch
+
+        # Slightly different per-lane lengths exercise the per-lane position
+        # tracking while sharing one prefill bucket.
+        prompts = [prompt[: prompt_len - 8 * b] for b in range(args.batch)]
+
+        def run(caches):
+            return generate_batch(
+                cfg, params, rope, caches, prompts, args.decode_tokens,
+                prefill_bucket=_bucket(prompt_len),
+            )
+    else:
+
+        def run(caches):
+            return generate(
+                cfg, params, rope, caches, prompt, args.decode_tokens,
+                prefill_bucket=_bucket(prompt_len),
+            )
+
     # Warmup (compile) with identical static shapes as the measured run so
     # both the prefill and decode-loop executables are reused.
     t0 = time.time()
-    _, info, caches = generate(
-        cfg, params, rope, caches, prompt, args.decode_tokens,
-        prefill_bucket=_bucket(prompt_len),
-    )
+    _, info, caches = run(caches)
     log(f"compile+warmup in {time.time() - t0:.1f}s")
     caches = reset_caches(caches)
 
-    _, info, caches = generate(
-        cfg, params, rope, caches, prompt, args.decode_tokens,
-        prefill_bucket=_bucket(prompt_len),
-    )
+    _, info, caches = run(caches)
     perf = info["perf_stats"]
     log(json.dumps(perf, indent=2))
 
@@ -144,6 +167,7 @@ def main():
                     "context": args.context,
                     "budget_frac": args.budget_frac,
                     "decode_tokens": args.decode_tokens,
+                    "batch": args.batch,
                     "prefill_toks_per_sec": round(
                         perf["prefill_toks_per_sec"], 1
                     ),

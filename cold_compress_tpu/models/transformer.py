@@ -253,17 +253,20 @@ def attention_decode(
     )
 
     if (
-        spec.quantized
-        and attn_top_k >= 1.0
-        and decode_attn_supported(spec, q.shape, cache.k.shape[2])
+        attn_top_k >= 1.0
+        and decode_attn_supported(
+            spec, q.shape, cache.k.shape[2], cache.k.shape[1]
+        )
     ):
-        # Fused path: the packed cache never leaves its quantized form in
-        # HBM; XLA dead-code-eliminates decode_update's unused materialized
-        # k_cache/v_cache. (ops/pallas_decode_attn.py)
+        # Fused path for quantized AND bf16 caches: packed caches never
+        # leave their quantized form in HBM (XLA dead-code-eliminates
+        # decode_update's unused materialized k_cache/v_cache), and bf16
+        # caches stream at HBM speed instead of XLA's ~240 GB/s einsum.
+        # (ops/pallas_decode_attn.py)
         y, attn = quantized_decode_attention(
             q, cache.k, cache.v, cache.k_scales, cache.k_zeros,
             cache.v_scales, cache.v_zeros, cache.mask,
-            bits=spec.cache_bits, need_attn=need_attn,
+            bits=spec.cache_bits or 16, need_attn=need_attn,
         )
     else:
         kv_mask = mask[:, :, None, None, :]  # [B, KVH, G=1, L=1, C]

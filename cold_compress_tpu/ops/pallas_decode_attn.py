@@ -1,4 +1,4 @@
-"""Fused decode attention over a *quantized* KV cache (Pallas TPU).
+"""Fused decode attention over the (optionally quantized) KV cache (Pallas).
 
 With ``--cache_bits`` set, the XLA path dequantizes the whole cache to bf16
 in HBM every decode step (caches/base.py::materialize_kv) — the exact slow
@@ -8,11 +8,19 @@ in its quantized form and is dequantized on the VPU inside the kernel, so a
 cache_bits=8 cache streams HALF the bytes of a bf16 cache (int4: quarter)
 and nothing quantization-related ever round-trips HBM.
 
+The kernel also serves *bf16* caches (``bits=16``): XLA's decode einsum
+streams the cache at ~240 GB/s on this part, while one fat Pallas program
+per batch element streams at near-HBM speed.
+
 Layout notes:
-* grid = (B, KVH); each program owns one (batch, kv head): its packed K/V
-  [C, D / packing], the 8-row query group block (G real rows, zero-padded),
-  and a [8, C] f32 "meta" block carrying k_scale / k_zero' / v_scale /
-  v_zero' / mask as rows (sublane-padded - Mosaic wants >= 8 sublanes).
+* grid = (B,): ONE program per batch element, the KVH head loop statically
+  unrolled inside. Grid steps carry multi-microsecond fixed overhead on this
+  backend (measured ~8.6 us/step at (B, KVH) granularity = 69 us/layer for
+  ~3 us of bytes); a single fat step amortizes it to noise.
+* per head: packed K/V [C, D / packing] (or bf16 [C, D]), the 8-row query
+  group block (G real rows, zero-padded), and an [8, C] f32 "meta" block
+  carrying k_scale / k_zero' / v_scale / v_zero' / mask as rows
+  (sublane-padded — Mosaic wants >= 8 sublanes).
 * zero' = zero - 2^(bits-1) * scale folds the unsigned-storage offset into
   the affine constant, so dequant is one fused multiply-add per element.
 * The group-pooled probabilities (heavy-hitter et al. consume [B, KVH, C])
@@ -37,6 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+#: VMEM budget for one program's K+V blocks (bytes). One grid step means no
+#: double-buffering pressure; leave headroom for q/meta/outputs.
+_VMEM_KV_BUDGET = 10 * 2**20
+
 
 def _dequant(q_ref_slice, scale, zero_p, bits: int):
     """Unpack + affine-dequant a packed [C, D/packing] uint8 block to f32
@@ -54,37 +66,45 @@ def _dequant(q_ref_slice, scale, zero_p, bits: int):
     return vals * scale[:, None] + zero_p[:, None]
 
 
-def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, G, scale,
+def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
             bits, need_attn):
-    q = q_ref[0, 0]  # [8, D] bf16 (rows >= G are zero)
-    meta = meta_ref[0, 0]  # [8, C] f32
-    sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+    for h in range(KVH):  # static unroll: one fat program per batch element
+        q = q_ref[0, h]  # [8, D] bf16 (rows >= G are zero)
+        meta = meta_ref[0, h]  # [8, C] f32
+        sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
 
-    kf = _dequant(kq_ref[0, 0], sk, zk, bits)  # [C, D] f32
-    s = jax.lax.dot_general(
-        q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [8, C]
-    s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / l  # [8, C] f32
+        if bits == 16:
+            kf = kq_ref[0, h].astype(jnp.float32)  # [C, D]
+        else:
+            kf = _dequant(kq_ref[0, h], sk, zk, bits)
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [8, C]
+        s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        probs = e / l  # [8, C] f32
 
-    if need_attn:
-        pooled = jnp.sum(probs[:G], axis=0) * (1.0 / G)  # [C]
-        p_ref[0, 0] = jnp.concatenate(
-            [pooled[None, :], jnp.zeros((7, pooled.shape[0]), jnp.float32)],
-            axis=0,
+        if need_attn:
+            pooled = jnp.sum(probs[:G], axis=0) * (1.0 / G)  # [C]
+            p_ref[0, h] = jnp.concatenate(
+                [pooled[None, :],
+                 jnp.zeros((7, pooled.shape[0]), jnp.float32)],
+                axis=0,
+            )
+
+        if bits == 16:
+            vf = vq_ref[0, h].astype(jnp.bfloat16)
+        else:
+            vf = _dequant(vq_ref[0, h], sv, zv, bits).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            probs.astype(jnp.bfloat16), vf,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-
-    vf = _dequant(vq_ref[0, 0], sv, zv, bits)  # [C, D] f32
-    o = jax.lax.dot_general(
-        probs.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o
+        o_ref[0, h] = o
 
 
 @functools.partial(
@@ -92,12 +112,12 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, G, scale,
 )
 def quantized_decode_attention(
     q: jax.Array,      # [B, H, 1, D] (bf16/f32)
-    kq: jax.Array,     # [B, KVH, C, D/packing] uint8
+    kq: jax.Array,     # [B, KVH, C, D/packing] uint8 (or [B,KVH,C,D] bf16)
     vq: jax.Array,
-    k_scales: jax.Array,  # [B, KVH, C] f32
-    k_zeros: jax.Array,
-    v_scales: jax.Array,
-    v_zeros: jax.Array,
+    k_scales: Optional[jax.Array],  # [B, KVH, C] f32 (None when bits=16)
+    k_zeros: Optional[jax.Array],
+    v_scales: Optional[jax.Array],
+    v_zeros: Optional[jax.Array],
     mask: jax.Array,   # [B, KVH, C] bool
     bits: int = 8,
     need_attn: bool = False,
@@ -115,51 +135,55 @@ def quantized_decode_attention(
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 8 - G), (0, 0)))
     qf = qf.astype(jnp.bfloat16)
 
-    off = float(2 ** (bits - 1))
-    meta = jnp.stack(
-        [
+    maskf = mask.astype(jnp.float32)
+    if bits == 16:
+        zero = jnp.zeros_like(maskf)
+        rows = [zero, zero, zero, zero, maskf]
+    else:
+        off = float(2 ** (bits - 1))
+        rows = [
             k_scales,
             k_zeros - off * k_scales,
             v_scales,
             v_zeros - off * v_scales,
-            mask.astype(jnp.float32),
-        ],
-        axis=2,
-    )  # [B, KVH, 5, C]
+            maskf,
+        ]
+    meta = jnp.stack(rows, axis=2)  # [B, KVH, 5, C]
     meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 3), (0, 0)))
 
     Dp = kq.shape[3]
     kernel = functools.partial(
-        _kernel, G=G, scale=scale, bits=bits, need_attn=need_attn
+        _kernel, KVH=KVH, G=G, scale=scale, bits=bits, need_attn=need_attn
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
         jax.ShapeDtypeStruct((B, KVH, 8, C), jnp.float32),
     ]
+    kv_spec = pl.BlockSpec((1, KVH, C, Dp), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     y, pooled = pl.pallas_call(
         kernel,
-        grid=(B, KVH),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, KVH, 8, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, Dp), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, Dp), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, C), lambda b, h: (b, h, 0, 0),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, KVH, 8, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 8, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, KVH, 8, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, C), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, KVH, 8, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shapes,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * C * D,
-            bytes_accessed=2 * B * KVH * C * Dp + B * KVH * C * 4 * 4,
+            bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
+            + B * KVH * C * 4 * 4,
             transcendentals=B * KVH * 8 * C,
         ),
     )(qf, kq, vq, meta)
@@ -174,15 +198,23 @@ def quantized_decode_attention(
     return out, pooled[:, :, 0][:, :, None, :]  # [B, KVH, 1, C]
 
 
-def decode_attn_supported(spec, q_shape, C: int) -> bool:
+def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     """Gate: real TPU, lane-aligned cache length / head dim, supported
-    packing, single-token decode."""
+    packing, single-token decode, and K+V blocks within the one-shot VMEM
+    budget."""
     if jax.default_backend() != "tpu":
         return False
     B, H, L, D = q_shape
+    bits = spec.cache_bits if spec.cache_bits is not None else 16
+    if bits not in (16, 8, 4, 2):
+        return False
+    dp_bytes = D * (2 if bits == 16 else bits // 8 if bits == 8 else 1)
+    if bits in (4, 2):
+        dp_bytes = D // (8 // bits)
+    kv_bytes = 2 * kvh * C * dp_bytes
     return (
         L == 1
-        and spec.cache_bits in (8, 4, 2)
         and C % 128 == 0
         and D % 128 == 0
+        and kv_bytes <= _VMEM_KV_BUDGET
     )

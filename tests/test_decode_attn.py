@@ -36,26 +36,37 @@ def _mk_state(bits, B=1, KVH=2, C=128, D=128, filled=100, seed=0):
     )
 
 
-@pytest.mark.parametrize("bits", [8, 4, 2])
+@pytest.mark.parametrize("bits", [16, 8, 4, 2])
 @pytest.mark.parametrize("need_attn", [True, False])
 def test_fused_matches_xla_path(bits, need_attn):
     B, KVH, C, D, G = 1, 2, 128, 128, 4
     H = KVH * G
-    state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D)
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
         jnp.bfloat16
     )
 
-    k, v = materialize_kv(state)
+    if bits == 16:
+        # Unquantized bf16 cache: the kernel is a pure attention fusion.
+        state = _mk_state(8, B=B, KVH=KVH, C=C, D=D)
+        kv = np.random.RandomState(0).randn(2, B, KVH, C, D)
+        k = jnp.asarray(kv[0], jnp.bfloat16)
+        v = jnp.asarray(kv[1], jnp.bfloat16)
+        fused_args = (q, k, v, None, None, None, None, state.mask)
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D)
+        k, v = materialize_kv(state)
+        fused_args = (
+            q, state.k, state.v, state.k_scales, state.k_zeros,
+            state.v_scales, state.v_zeros, state.mask,
+        )
+
     ref_out, ref_attn = gqa_attention(
         q, k, v, mask=state.mask[:, :, None, None, :],
         return_attn=need_attn,
     )
     out, attn = quantized_decode_attention(
-        q, state.k, state.v, state.k_scales, state.k_zeros,
-        state.v_scales, state.v_zeros, state.mask,
-        bits=bits, need_attn=need_attn, interpret=True,
+        *fused_args, bits=bits, need_attn=need_attn, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
