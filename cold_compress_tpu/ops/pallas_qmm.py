@@ -49,7 +49,7 @@ def _pick_tile_out(INh: int, OUT: int) -> int:
     stream in). Fewer, fatter steps are strictly better until the block
     breaks VMEM double-buffering.
     """
-    budget = 2_621_440  # int8 bytes: [INh, TO] packed block
+    budget = 3_700_000  # int8 bytes: [INh, TO] packed block
     for cand in (1024, 512, 256, 128):
         if OUT % cand == 0 and INh * cand <= budget:
             return cand
