@@ -103,8 +103,8 @@ def main():
     caches = T.init_caches(cfg, specs, batch_size=args.batch,
                            dtype=jnp.bfloat16)
     if T.is_stacked(caches):
-        params = T.stack_layer_params(params)
-        log("using stacked (scan-over-layers) execution")
+        params = T.fuse_layer_params(T.stack_layer_params(params))
+        log("using stacked (scan-over-layers) execution, fused projections")
 
     prompt_len = args.context - args.decode_tokens - 8
     rng = np.random.RandomState(0)

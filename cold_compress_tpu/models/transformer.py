@@ -115,15 +115,30 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def feed_forward(p: Dict[str, Any], x: jax.Array) -> jax.Array:
     """SwiGLU MLP (reference: model.py:435-443)."""
+    if "w13" in p:
+        # Fused gate+up projection: one weight stream / one Pallas dispatch
+        # instead of two (see fuse_layer_params).
+        y = linear(x, p["w13"])
+        F = y.shape[-1] // 2
+        return linear(jax.nn.silu(y[..., :F]) * y[..., F:], p["w2"])
     return linear(jax.nn.silu(linear(x, p["w1"])) * linear(x, p["w3"]), p["w2"])
 
 
 def _qkv(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array, freqs: jax.Array):
     """Project + rotate. x: [B, L, D] -> q [B,H,L,hd], k/v [B,KVH,L,hd]."""
     B, L, _ = x.shape
-    q = linear(x, p["wq"], p.get("bq"))
-    k = linear(x, p["wk"], p.get("bk"))
-    v = linear(x, p["wv"], p.get("bv"))
+    if "wqkv" in p:
+        # Fused q|k|v projection (see fuse_layer_params).
+        Dq = cfg.n_head * cfg.head_dim
+        Dkv = cfg.n_kv_head * cfg.head_dim
+        y = linear(x, p["wqkv"], p.get("bqkv"))
+        q = y[..., :Dq]
+        k = y[..., Dq : Dq + Dkv]
+        v = y[..., Dq + Dkv :]
+    else:
+        q = linear(x, p["wq"], p.get("bq"))
+        k = linear(x, p["wk"], p.get("bk"))
+        v = linear(x, p["wv"], p.get("bv"))
     q = q.reshape(B, L, cfg.n_head, cfg.head_dim)
     k = k.reshape(B, L, cfg.n_kv_head, cfg.head_dim)
     v = v.reshape(B, L, cfg.n_kv_head, cfg.head_dim)
@@ -541,6 +556,76 @@ def stack_layer_params(params: Params) -> Params:
         return params
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return {**params, "layers": stacked}
+
+
+def _concat_weight_leaves(leaves):
+    """Concatenate weight leaves along the output (last) axis.
+
+    Works for dense arrays and ``QuantizedWeight``s (packed bytes, scales
+    and zeros all share the output axis as their last dim, for both the
+    per-layer and the stacked layouts).
+    """
+    if is_quantized(leaves[0]):
+        first = leaves[0]
+        assert all(
+            is_quantized(l)
+            and l.kind == first.kind
+            and l.group_size == first.group_size
+            for l in leaves
+        ), "fused projections must share quantization settings"
+        cat = lambda xs: None if xs[0] is None else jnp.concatenate(xs, -1)  # noqa: E731
+        return dataclasses.replace(
+            first,
+            w=cat([l.w for l in leaves]),
+            scales=cat([l.scales for l in leaves]),
+            zeros=cat([l.zeros for l in leaves]),
+        )
+    assert not any(is_quantized(l) for l in leaves)
+    return jnp.concatenate(leaves, axis=-1)
+
+
+def fuse_layer_params(params: Params) -> Params:
+    """Fuse the q/k/v and w1/w3 projections into single wider weights.
+
+    Decode is dispatch-bound on this backend (each Pallas matmul call
+    carries fixed overhead; see scripts/perf_probe3.py) — fusing 7 calls
+    per layer down to 4 cuts that overhead with identical bytes/FLOPs.
+    The fused leaves concatenate along the *output* axis, so results are
+    bit-identical to the unfused path (each output column's dot product is
+    unchanged; int4/int8 quantization metadata is per-output-column/group
+    and concatenates losslessly).
+
+    Only valid for UNSHARDED runs: tensor-parallel PartitionSpecs shard the
+    output axis per projection (parallel/mesh.py), which a q|k|v concat
+    would interleave incorrectly. Callers gate on tp == 1.
+    """
+
+    def fuse_one(lp):
+        lp = dict(lp)
+        attn = dict(lp["attn"])
+        if "wq" in attn:
+            attn["wqkv"] = _concat_weight_leaves(
+                [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")]
+            )
+            if "bq" in attn:
+                attn["bqkv"] = jnp.concatenate(
+                    [attn.pop("bq"), attn.pop("bk"), attn.pop("bv")], -1
+                )
+            lp["attn"] = attn
+        ffn = dict(lp["ffn"])
+        if "w1" in ffn:
+            ffn["w13"] = _concat_weight_leaves(
+                [ffn.pop("w1"), ffn.pop("w3")]
+            )
+            lp["ffn"] = ffn
+        return lp
+
+    layers = params["layers"]
+    if isinstance(layers, list):
+        layers = [fuse_one(lp) for lp in layers]
+    else:
+        layers = fuse_one(layers)
+    return {**params, "layers": layers}
 
 
 def model_size_bytes(params: Params) -> int:

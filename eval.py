@@ -181,6 +181,8 @@ def run_task(
     caches = T.init_caches(cfg, specs, batch_size=bs)
     if T.is_stacked(caches):
         params = T.stack_layer_params(params)
+        if args.tp == 1 and args.dp == 1:
+            params = T.fuse_layer_params(params)  # see generate.py
     if args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 

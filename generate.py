@@ -101,6 +101,11 @@ def main(args) -> None:
     caches = T.init_caches(cfg, specs, batch_size=1)
     if T.is_stacked(caches):
         params = T.stack_layer_params(params)
+        if args.tp == 1:
+            # Fused q|k|v and w1|w3 projections cut per-layer dispatch
+            # overhead; TP shards the per-projection output axes, so the
+            # sharded path keeps them separate (models/transformer.py).
+            params = T.fuse_layer_params(params)
 
     if args.tp > 1:
         # Shard weights column/row-wise and caches on the KV-head axis over

@@ -44,30 +44,40 @@ def build(shapes):
     return [mk_stack(rng, i, o) for i, o in shapes]
 
 
-def scan_fn(stacks, shapes):
-    def body(x, i):
-        h = x
-        for (w, s, z), (IN, OUT) in zip(stacks, shapes):
-            y = qmm_w4a8_stacked(h[:, :IN], w, s, z, i, group_size=GS)
-            # Feed a reduced view forward so nothing is dead code.
-            h = h + jnp.pad(
-                y[:, :D].astype(jnp.bfloat16), ((0, 0), (0, h.shape[1] - min(D, OUT)))
-            )[:, : h.shape[1]] * 1e-6
-        return h, ()
+REPEATS = 64
 
-    def run(x0):
-        x, _ = jax.lax.scan(body, x0, jnp.arange(NL))
+
+def make_run(shapes):
+    # Stacks are jit ARGUMENTS (not closed-over constants) so the remote
+    # compiler does not have to ingest GBs of captured weight bytes.
+    # All REPEATS token-steps live INSIDE one program with a carried data
+    # dependency — separate same-program calls coalesce on this backend and
+    # time as fake multi-TB/s numbers even with varying inputs.
+    def run(stacks, x0):
+        def body(x, i):
+            h = x
+            for (w, s, z), (IN, OUT) in zip(stacks, shapes):
+                y = qmm_w4a8_stacked(h[:, :IN], w, s, z, i % NL, group_size=GS)
+                # Feed a reduced view forward so nothing is dead code.
+                h = h + jnp.pad(
+                    y[:, :D].astype(jnp.bfloat16),
+                    ((0, 0), (0, h.shape[1] - min(D, OUT))),
+                )[:, : h.shape[1]] * 1e-6
+            return h, ()
+
+        x, _ = jax.lax.scan(body, x0, jnp.arange(NL * REPEATS))
         return x
 
     return jax.jit(run)
 
 
-def timeit(fn, x0s):
-    fn(x0s[0]).block_until_ready()  # compile
+def timeit(fn, stacks, x0s):
+    # block_until_ready is unreliable through the axon tunnel — a host
+    # transfer of the result is the only honest completion barrier.
+    np.asarray(fn(stacks, x0s[0]))  # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(x) for x in x0s]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / len(x0s)
+    np.asarray(fn(stacks, x0s[1]))
+    return (time.perf_counter() - t0) / REPEATS
 
 
 def main():
@@ -82,8 +92,8 @@ def main():
     }
     for name, shapes in variants.items():
         stacks = build(shapes)
-        fn = scan_fn(stacks, shapes)
-        dt = timeit(fn, x0s)
+        fn = make_run(shapes)
+        dt = timeit(fn, stacks, x0s)
         gb = sum(NL * i * o / 2 for i, o in shapes) / 1e9
         print(
             f"{name}: {dt * 1e3:.3f} ms/token  "
