@@ -107,8 +107,150 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
         o_ref[0, h] = o
 
 
+def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
+                    acc_ref, m_ref, l_ref, *, KVH, G, scale, bits, need_attn,
+                    n_chunks):
+    """Flash-style online-softmax over cache chunks: grid (B, NC).
+
+    Chunking the cache axis lets Mosaic double-buffer the K/V chunk DMAs
+    against compute (the one-shot kernel above serializes an 8+ MB DMA
+    before any math). Scratch carries the running (acc, m, l) per head/row;
+    the final chunk normalizes and writes ``o``.
+
+    For pooled probabilities, each chunk writes its *unnormalized* e-block
+    (at that chunk's running max) plus (m_chunk, l_running) into ``aux``;
+    the wrapper applies the global correction afterwards — probabilities
+    for chunk c are e * exp(m_c - m_final) / l_final.
+    """
+    nc = pl.program_id(1)
+
+    @pl.when(nc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    for h in range(KVH):
+        q = q_ref[0, h]  # [8, D] bf16
+        meta = meta_ref[0, h]  # [8, CHUNK] f32
+        sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+
+        if bits == 16:
+            kf = kq_ref[0, h].astype(jnp.float32)  # [CHUNK, D]
+        else:
+            kf = _dequant(kq_ref[0, h], sk, zk, bits)
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [8, CHUNK]
+        live = msk[None, :] > 0.5
+        s = jnp.where(live, s, NEG_INF)
+
+        m_prev = m_ref[h, :, 0:1]  # [8, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # Explicit mask multiply: a fully-masked chunk must contribute 0,
+        # not exp(NEG_INF - NEG_INF) = 1.
+        e = jnp.where(live, jnp.exp(s - m_new), 0.0)  # [8, CHUNK]
+        corr = jnp.exp(m_prev - m_new)  # [8, 1]
+        l_new = l_ref[h, :, 0:1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+
+        if bits == 16:
+            vf = vq_ref[0, h].astype(jnp.bfloat16)
+        else:
+            vf = _dequant(vq_ref[0, h], sv, zv, bits).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            e.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8, D]
+        acc_new = acc_ref[h] * corr + pv
+
+        acc_ref[h] = acc_new
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+        l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+
+        if need_attn:
+            e_ref[0, h] = e
+            aux_ref[0, h] = jnp.concatenate(
+                [jnp.broadcast_to(m_new, (8, 64)),
+                 jnp.broadcast_to(l_new, (8, 64))], axis=-1
+            )
+
+        @pl.when(nc == n_chunks - 1)
+        def _finalize():
+            o_ref[0, h] = acc_new / jnp.maximum(l_new, 1e-30)
+
+
+def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
+                  need_attn, chunk, interpret):
+    NC = C // chunk
+    Dp = kq.shape[3]
+    kernel = functools.partial(
+        _kernel_chunked, KVH=KVH, G=G, scale=scale, bits=bits,
+        need_attn=need_attn, n_chunks=NC,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, KVH, 8, C), jnp.float32),
+        jax.ShapeDtypeStruct((B, KVH, 8, NC * 128), jnp.float32),
+    ]
+    kv_spec = pl.BlockSpec((1, KVH, chunk, Dp), lambda b, c: (b, 0, c, 0),
+                           memory_space=pltpu.VMEM)
+    y, e_out, aux = pl.pallas_call(
+        kernel,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KVH, 8, 128), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((KVH, 8, D), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KVH * 8 * C * D,
+            bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
+            + B * KVH * C * 4 * 4,
+            transcendentals=B * KVH * 8 * C,
+        ),
+    )(qf, kq, vq, meta)
+
+    if not need_attn:
+        return y, None
+    # Global softmax correction: chunk c's e-block was scaled by its own
+    # running max; the final (m, l) live in the last chunk's aux block.
+    aux = aux.reshape(B, KVH, 8, NC, 128)
+    m_c = aux[..., 0]                     # [B, KVH, 8, NC]
+    m_fin = m_c[..., -1:]                 # [B, KVH, 8, 1]
+    l_fin = aux[..., -1, 64][..., None]   # [B, KVH, 8, 1]
+    corr = jnp.exp(m_c - m_fin) / jnp.maximum(l_fin, 1e-30)
+    probs = e_out.reshape(B, KVH, 8, NC, chunk) * corr[..., None]
+    pooled = jnp.mean(probs[:, :, :G], axis=2).reshape(B, KVH, C)
+    return y, pooled
+
+
+#: Cache-axis chunk width for the pipelined kernel; caches at least
+#: 2 chunks long take the chunked path (DMA/compute overlap), shorter
+#: ones the one-shot kernel.
+_DECODE_CHUNK = 512
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bits", "need_attn", "interpret")
+    jax.jit, static_argnames=("bits", "need_attn", "interpret", "chunked")
 )
 def quantized_decode_attention(
     q: jax.Array,      # [B, H, 1, D] (bf16/f32)
@@ -122,9 +264,14 @@ def quantized_decode_attention(
     bits: int = 8,
     need_attn: bool = False,
     interpret: bool = False,
+    chunked: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Returns (out [B, H, 1, D], pooled attn [B, KVH, 1, C] | None),
-    matching gqa_attention's decode contract."""
+    matching gqa_attention's decode contract.
+
+    ``chunked=None`` auto-selects: caches spanning >= 2 chunks of
+    ``_DECODE_CHUNK`` take the pipelined online-softmax kernel, shorter
+    ones the one-shot kernel."""
     B, H, _, D = q.shape
     KVH, C = kq.shape[1], kq.shape[2]
     G = H // KVH
@@ -150,6 +297,19 @@ def quantized_decode_attention(
         ]
     meta = jnp.stack(rows, axis=2)  # [B, KVH, 5, C]
     meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 3), (0, 0)))
+
+    if chunked is None:
+        chunked = C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK
+    if chunked:
+        y, pooled = _chunked_call(
+            qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G, scale=scale,
+            bits=bits, need_attn=need_attn, chunk=_DECODE_CHUNK,
+            interpret=interpret,
+        )
+        out = y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype)
+        if not need_attn:
+            return out, None
+        return out, pooled[:, :, None, :]  # [B, KVH, 1, C]
 
     Dp = kq.shape[3]
     kernel = functools.partial(
@@ -211,7 +371,13 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     dp_bytes = D * (2 if bits == 16 else bits // 8 if bits == 8 else 1)
     if bits in (4, 2):
         dp_bytes = D // (8 // bits)
-    kv_bytes = 2 * kvh * C * dp_bytes
+    # The chunked kernel only ever holds one cache chunk in VMEM.
+    eff_c = (
+        _DECODE_CHUNK
+        if (C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK)
+        else C
+    )
+    kv_bytes = 2 * kvh * eff_c * dp_bytes
     return (
         L == 1
         and C % 128 == 0

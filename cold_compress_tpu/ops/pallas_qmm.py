@@ -49,6 +49,9 @@ def _pick_tile_out(INh: int, OUT: int) -> int:
     stream in). Fewer, fatter steps are strictly better until the block
     breaks VMEM double-buffering.
     """
+    # 2048-wide tiles were probed (budget 4.5 MB) and came out ~7% SLOWER —
+    # the 4.2 MB blocks break DMA double-buffering under VMEM pressure.
+    # 1024 is the measured sweet spot (scripts/perf_probe3.py).
     budget = 3_700_000  # int8 bytes: [INh, TO] packed block
     for cand in (1024, 512, 256, 128):
         if OUT % cand == 0 and INh * cand <= budget:

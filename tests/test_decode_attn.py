@@ -123,3 +123,55 @@ def test_decode_through_model_with_quantized_cache():
         cfg, params, rope, caches, tok, jnp.int32(0)
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("bits", [16, 8, 4])
+@pytest.mark.parametrize("need_attn", [True, False])
+def test_chunked_matches_one_shot(bits, need_attn):
+    """The pipelined online-softmax kernel must reproduce the one-shot
+    kernel (and hence the XLA path) on a multi-chunk cache, including a
+    fully-masked trailing chunk."""
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    B, KVH, D, G = 1, 2, 128, 4
+    C = 4 * da._DECODE_CHUNK
+    H = KVH * G
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    # Fill only the first 2.5 chunks: chunk 3 is entirely masked.
+    filled = 2 * da._DECODE_CHUNK + da._DECODE_CHUNK // 2
+
+    if bits == 16:
+        kv = np.random.RandomState(4).randn(2, B, KVH, C, D)
+        k = jnp.asarray(kv[0], jnp.bfloat16)
+        v = jnp.asarray(kv[1], jnp.bfloat16)
+        mask = jnp.broadcast_to(
+            jnp.asarray(np.arange(C) < filled), (B, KVH, C)
+        )
+        args = (q, k, v, None, None, None, None, mask)
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=filled)
+        args = (
+            q, state.k, state.v, state.k_scales, state.k_zeros,
+            state.v_scales, state.v_zeros, state.mask,
+        )
+
+    ref_out, ref_attn = quantized_decode_attention(
+        *args, bits=bits, need_attn=need_attn, interpret=True, chunked=False,
+    )
+    out, attn = quantized_decode_attention(
+        *args, bits=bits, need_attn=need_attn, interpret=True, chunked=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    if need_attn:
+        ref_attn = np.asarray(ref_attn)
+        attn = np.asarray(attn)
+        np.testing.assert_allclose(attn, ref_attn, atol=2e-3, rtol=2e-2)
+        assert np.all(attn[..., filled:] == 0.0)
+    else:
+        assert attn is None
