@@ -104,6 +104,10 @@ def main():
                            dtype=jnp.bfloat16)
     if T.is_stacked(caches):
         params = T.fuse_layer_params(T.stack_layer_params(params))
+        if jax.default_backend() == "tpu":
+            # Column-packed int4 layout halves the decode kernel's MXU work
+            # (ops/pallas_qmm.py). No-op for bf16/int8 weights.
+            params = T.colpack_layer_params(params)
         log("using stacked (scan-over-layers) execution, fused projections")
 
     prompt_len = args.context - args.decode_tokens - 8

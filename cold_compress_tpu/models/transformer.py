@@ -35,7 +35,12 @@ from ..caches import (
     strategy_needs_attn,
 )
 from ..ops.attention import gqa_attention, prefill_attention
-from ..ops.linear import dequantize_weight, is_quantized, linear
+from ..ops.linear import (
+    dequantize_weight,
+    is_quantized,
+    linear,
+    to_colpack,
+)
 from .config import ModelConfig
 from .rope import apply_rotary_emb, precompute_freqs_cis
 
@@ -625,6 +630,38 @@ def fuse_layer_params(params: Params) -> Params:
         layers = [fuse_one(lp) for lp in layers]
     else:
         layers = fuse_one(layers)
+    return {**params, "layers": layers}
+
+
+def colpack_layer_params(params: Params) -> Params:
+    """Repack the layers' int4 leaves into the column-packed decode layout.
+
+    The colpack format halves the Pallas W4A8 kernel's MXU work (2 dots over
+    half the output width instead of 3 over half the input depth; see
+    ops/pallas_qmm.py). Storage/interchange stays rowpack — this runs once at
+    setup, layer by layer, on the already-stacked (and optionally fused)
+    params. Like fuse_layer_params, callers gate on tp == 1: the colpack
+    nibble pairing spans output columns (j, j + out/2), which tensor-parallel
+    output sharding would split across devices.
+    """
+
+    def conv(leaf):
+        if (
+            is_quantized(leaf)
+            and leaf.kind == "int4"
+            and leaf.layout == "rowpack"
+        ):
+            return to_colpack(leaf)
+        return leaf
+
+    layers = params["layers"]
+    is_leaf = is_quantized
+    if isinstance(layers, list):
+        layers = [
+            jax.tree.map(conv, lp, is_leaf=is_leaf) for lp in layers
+        ]
+    else:
+        layers = jax.tree.map(conv, layers, is_leaf=is_leaf)
     return {**params, "layers": layers}
 
 

@@ -43,6 +43,11 @@ class QuantizedWeight:
     idx: Optional[jax.Array] = None
     kind: str = field(default="int8", metadata=dict(static=True))
     group_size: int = field(default=128, metadata=dict(static=True))
+    # int4 byte layout: "rowpack" (storage/interchange format: nibbles are
+    # input rows i and i + in/2 of one output column) or "colpack" (decode
+    # acceleration format: nibbles are output columns j and j + out/2 of one
+    # input row; see ops/pallas_qmm.py qmm_w4a8_cp_stacked).
+    layout: str = field(default="rowpack", metadata=dict(static=True))
 
     def resolved(self) -> "QuantizedWeight":
         """Materialize the selected layer of a stacked leaf (XLA fuses the
@@ -98,6 +103,43 @@ def to_signed_pack(packed: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(packed ^ 0x80, jnp.int8)
 
 
+def to_colpack(w_leaf: QuantizedWeight) -> QuantizedWeight:
+    """Repack a rowpack int4 leaf into the colpack acceleration layout.
+
+    rowpack: w [.., in//2, out], byte (r, j) = rows (r, r + in/2) of col j.
+    colpack: w [.., in, out//2], byte (i, j) = cols (j, j + out/2) of row i
+             (low nibble unsigned q, high nibble signed q-8);
+             scales/zeros [.., 2, in/gs, out//2] (plane 0 = low half cols).
+
+    Stacked leaves are repacked layer-by-layer (lax.map) so the transient
+    unpacked uint8 buffer stays one layer big.
+    """
+    assert w_leaf.kind == "int4" and w_leaf.layout == "rowpack"
+
+    def one(w, s, z):
+        q = unpack_int4(w, axis=0).astype(jnp.int32)  # [in, out], 0..15
+        out = q.shape[-1]
+        assert out % 2 == 0
+        lo = q[:, : out // 2]
+        hi = q[:, out // 2:]
+        byte = lo | (((hi - 8) & 0xF) << 4)
+        wcp = jnp.where(byte >= 128, byte - 256, byte).astype(jnp.int8)
+        meta = lambda a: jnp.stack(  # noqa: E731
+            [a[..., : out // 2], a[..., out // 2:]], axis=0
+        )
+        return wcp, meta(s), meta(z)
+
+    if w_leaf.w.ndim == 3:  # stacked [NL, in//2, out]
+        wcp, s, z = jax.lax.map(
+            lambda t: one(*t), (w_leaf.w, w_leaf.scales, w_leaf.zeros)
+        )
+    else:
+        wcp, s, z = one(w_leaf.w, w_leaf.scales, w_leaf.zeros)
+    return dataclasses.replace(
+        w_leaf, w=wcp, scales=s, zeros=z, layout="colpack"
+    )
+
+
 def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize a quantized weight leaf as a dense [in, out] array."""
     if not is_quantized(w_leaf):
@@ -106,6 +148,22 @@ def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
         return (
             w_leaf.w.astype(jnp.float32) * w_leaf.scales[None, :]
         ).astype(dtype)
+    if w_leaf.kind == "int4" and w_leaf.layout == "colpack":
+        gs = w_leaf.group_size
+        p = w_leaf.w.astype(jnp.int32)  # [in, out//2]
+        lo = p & 0x0F
+        hi = (p >> 4) + 8  # arithmetic shift recovers signed q-8
+        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        s = jnp.concatenate(
+            [w_leaf.scales[0], w_leaf.scales[1]], axis=-1
+        ).astype(jnp.float32)
+        z = jnp.concatenate(
+            [w_leaf.zeros[0], w_leaf.zeros[1]], axis=-1
+        ).astype(jnp.float32)
+        in_dim, out_dim = q.shape
+        q = q.reshape(in_dim // gs, gs, out_dim)
+        w = (q - 8.0) * s[:, None, :] + z[:, None, :]
+        return w.reshape(in_dim, out_dim).astype(dtype)
     if w_leaf.kind == "int4":
         gs = w_leaf.group_size
         w = unpack_int4(w_leaf.w, axis=0).astype(jnp.float32)  # [in, out]
@@ -159,9 +217,36 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
-        from .pallas_qmm import qmm_w4a8, qmm_w4a8_stacked, w4a8_supported
+        from .pallas_qmm import (
+            qmm_w4a8,
+            qmm_w4a8_cp_stacked,
+            qmm_w4a8_stacked,
+            w4a8_cp_supported,
+            w4a8_supported,
+        )
 
-        if w_leaf.kind == "int4" and w4a8_supported(x2.shape, w_leaf):
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "colpack"
+            and w4a8_cp_supported(x2.shape, w_leaf)
+        ):
+            w_, s_, z_ = w_leaf.w, w_leaf.scales, w_leaf.zeros
+            idx = w_leaf.idx
+            if idx is None:  # single layer: add a unit stack axis
+                w_, s_, z_ = w_[None], s_[None], z_[None]
+                idx = 0
+            y = qmm_w4a8_cp_stacked(
+                x2, w_, s_, z_, idx, group_size=w_leaf.group_size
+            )
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "rowpack"
+            and w4a8_supported(x2.shape, w_leaf)
+        ):
             if w_leaf.idx is not None:  # stacked: layer indexed in-kernel
                 y = qmm_w4a8_stacked(
                     x2, w_leaf.w, w_leaf.scales, w_leaf.zeros, w_leaf.idx,

@@ -225,6 +225,188 @@ def qmm_w4a8(x, w_packed, scales, zeros, group_size: int = 128,
     )
 
 
+# --------------------------------------------------------------------------
+# v3: column-packed dual-dot (2 MXU dots instead of 3)
+# --------------------------------------------------------------------------
+#
+# The row-packed scheme above needs THREE int8 dots per weight block (phb,
+# pll, phl) because the two nibbles of a byte belong to different *input*
+# rows, so each nibble plane multiplies a different activation plane. If the
+# byte instead packs the weights of the SAME input row for two different
+# *output* columns (j and j + OUT/2), one activation operand serves both:
+#
+#   d1 = x_bd . b         = 16 * (x . q_hi) + (x . q_lo)      (b = 16h | l)
+#   d2 = x_bd . (b & 0xF) =                    (x . q_lo)
+#   =>  x . q_hi = (d1 - d2) / 16   (exact in int32; |.| < 2^24 so f32 too)
+#
+# Two dots over half the output width = IN*OUT MXU columns per tile — the
+# information-theoretic minimum for int8 MXU dequant-matmul — vs the
+# row-packed scheme's 3 * (IN/2) * OUT = 1.5x. The block-diagonal activation
+# layout (one row per (group, query-row)) is kept so group-wise scales apply
+# to exact per-group partials after the dot.
+
+
+def _w4a8_cp_kernel(idx_ref, xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
+                    group_size, n_groups, groups_per_chunk, rows_l,
+                    tiled=False):
+    """Column-packed dual-dot W4A8 for one [IN, TOh] packed tile.
+
+    Outputs o_ref [2, L, TOh]: plane 0 = output columns [j*TOh ...) of the
+    low-nibble half, plane 1 = the matching columns of the high half
+    (final layout assembled by the wrapper). ``tiled`` weights carry an
+    extra leading tile axis (block (1, 1, IN, TOh)).
+    """
+    ngf, ngc, L = n_groups, groups_per_chunk, rows_l
+    gs = group_size
+    TOh = w_ref.shape[-1]
+    n_chunks = -(-ngf // ngc)
+
+    acc_lo = jnp.zeros((L, TOh), jnp.float32)
+    acc_hi = jnp.zeros((L, TOh), jnp.float32)
+    for c in range(n_chunks):
+        g0 = c * ngc
+        ng = min(ngc, ngf - g0)
+        rows = ng * L
+        xbd = xbd_ref[pl.ds(g0 * L, rows), : ng * gs]
+        if tiled:
+            b = w_ref[0, 0, pl.ds(g0 * gs, ng * gs), :]
+        else:
+            b = w_ref[0, pl.ds(g0 * gs, ng * gs), :]
+        lo = b & 0xF
+        d1 = jnp.dot(xbd, b, preferred_element_type=jnp.int32)
+        d2 = jnp.dot(xbd, lo, preferred_element_type=jnp.int32)
+        s_lo = s_ref[0, 0, pl.ds(g0, ng), :].astype(jnp.float32)  # [ng, TOh]
+        s_hi = s_ref[0, 1, pl.ds(g0, ng), :].astype(jnp.float32)
+        xl = d2.astype(jnp.float32).reshape(ng, L, TOh)
+        xh = ((d1 - d2).astype(jnp.float32) * 0.0625).reshape(ng, L, TOh)
+        acc_lo += jnp.sum(xl * s_lo[:, None, :], axis=0)
+        acc_hi += jnp.sum(xh * s_hi[:, None, :], axis=0)
+
+    # Affine zero-point terms over all groups: [L, ngf] @ [ngf, TOh] f32.
+    s_all = s_ref[0].astype(jnp.float32)  # [2, ngf, TOh]
+    z_all = z_ref[0].astype(jnp.float32)
+    xs = xs_ref[...]
+    # lo nibble stores q in [0,15]: dequant (q-8)*s + z. hi nibble stores
+    # q-8 signed already, so only the zero term remains.
+    o_ref[0] = acc_lo + jnp.dot(xs, z_all[0] - 8.0 * s_all[0])
+    o_ref[1] = acc_hi + jnp.dot(xs, z_all[1])
+
+
+def _pick_tile_out_cp(IN: int, OUTh: int) -> int:
+    budget = 3_700_000  # int8 bytes: [IN, TOh] packed block
+    for cand in (1024, 512, 256, 128):
+        if OUTh % cand == 0 and IN * cand <= budget:
+            return cand
+    return 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "tile_out")
+)
+def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
+                        group_size: int = 128, interpret: bool = False,
+                        tile_out: int | None = None):
+    """x [L, IN] @ layer ``layer_idx`` of column-packed int4 stacks.
+
+    w_stack int8, byte (i, j) packs weight (i, j) in the low nibble
+    (unsigned q) and weight (i, j + OUT//2) in the high nibble (signed
+    q-8). Two storage layouts:
+      flat:  [NL, IN, OUT//2]
+      tiled: [NL, n_tiles, IN, TOh] — each grid step's block is CONTIGUOUS
+             in HBM (the flat layout's blocks are strided rows of TOh
+             bytes, which this backend's DMA streams well below peak).
+    s/z [NL, 2, IN/gs, OUT//2] with plane 0 = low half columns.
+    """
+    true_L = x.shape[0]
+    if true_L > 1:
+        x, _ = _pad_rows(x)
+    L, IN = x.shape
+    tiled = w_stack.ndim == 4
+    if tiled:
+        NL, n_tiles, _, TOh_t = w_stack.shape
+        OUTh = n_tiles * TOh_t
+        tile_out = TOh_t
+    else:
+        NL, _, OUTh = w_stack.shape
+    gs = group_size
+    ngf = IN // gs
+    # rows per chunk = ngc*L <= 128 (one MXU pass); CH <= 4096 bounds the
+    # block-diagonal operand's VMEM footprint.
+    ngc = max(1, min(ngf, 128 // L, 4096 // gs))
+    CH = ngc * gs
+    TOh = tile_out or _pick_tile_out_cp(IN, OUTh)
+    assert OUTh % TOh == 0
+
+    xq, sx = _quantize_rows(x)
+    xs = jnp.sum(
+        xq.reshape(L, ngf, gs).astype(jnp.float32), axis=-1
+    )  # [L, ngf]
+
+    onehot = (
+        (jnp.arange(ngf)[:, None] % ngc) == jnp.arange(ngc)[None, :]
+    ).astype(jnp.int8)
+    xt = xq.reshape(L, ngf, gs).transpose(1, 0, 2)  # [ngf, L, gs]
+    xbd = (onehot[:, None, :, None] * xt[:, :, None, :]).reshape(
+        ngf * L, CH
+    )
+
+    kernel = functools.partial(
+        _w4a8_cp_kernel, group_size=gs, n_groups=ngf,
+        groups_per_chunk=ngc, rows_l=L, tiled=tiled,
+    )
+    w_spec = (
+        pl.BlockSpec((1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0))
+        if tiled
+        else pl.BlockSpec((1, IN, TOh), lambda j, idx: (idx[0], 0, j))
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(OUTh // TOh,),
+        in_specs=[
+            pl.BlockSpec((ngf * L, CH), lambda j, idx: (0, 0)),
+            pl.BlockSpec((L, ngf), lambda j, idx: (0, 0)),
+            w_spec,
+            pl.BlockSpec((1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)),
+            pl.BlockSpec((1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j)),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * IN * OUTh * 2,
+            bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray([layer_idx], jnp.int32),
+        xbd, xs, w_stack, s_stack, z_stack,
+    )
+    # [2, L, OUTh] -> [L, OUT] with low-half columns first.
+    y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+    return (y * sx)[:true_L]
+
+
+def w4a8_cp_supported(x_2d_shape, w_leaf) -> bool:
+    """Gate for the column-packed kernel (leaf layout == 'colpack')."""
+    if jax.default_backend() != "tpu":
+        return False
+    L, IN = x_2d_shape
+    OUTh = w_leaf.w.shape[-1]
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and L <= 32
+        and IN % 256 == 0
+        and OUTh % 128 == 0
+        and OUTh <= 16384
+        and IN % gs == 0
+    )
+
+
 def w4a8_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the dual-dot kernel: decode-sized activations, MXU-aligned
     dims, 8-aligned group blocks, and a VMEM-friendly output width (the

@@ -20,6 +20,7 @@ from collections import Counter, defaultdict
 from pathlib import Path
 from typing import List, Optional
 
+import jax
 import numpy as np
 
 from cold_compress_tpu.utils.jax_setup import setup_jax
@@ -183,6 +184,8 @@ def run_task(
         params = T.stack_layer_params(params)
         if args.tp == 1 and args.dp == 1:
             params = T.fuse_layer_params(params)  # see generate.py
+            if jax.default_backend() == "tpu":
+                params = T.colpack_layer_params(params)
     if args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 
@@ -203,8 +206,6 @@ def run_task(
         task_bucket = bucket_length(max(len(i) for i in inputs))
 
     if args.profile:
-        import jax
-
         try:
             jax.profiler.start_trace(str(args.profile))
         except Exception as e:
@@ -336,8 +337,6 @@ def run_task(
             )
 
     if args.profile:
-        import jax
-
         jax.profiler.stop_trace()
 
     print(

@@ -106,6 +106,10 @@ def main(args) -> None:
             # overhead; TP shards the per-projection output axes, so the
             # sharded path keeps them separate (models/transformer.py).
             params = T.fuse_layer_params(params)
+            if jax.default_backend() == "tpu":
+                # Column-packed int4 layout halves the decode kernel's MXU
+                # work (ops/pallas_qmm.py). No-op for bf16/int8 weights.
+                params = T.colpack_layer_params(params)
 
     if args.tp > 1:
         # Shard weights column/row-wise and caches on the KV-head axis over

@@ -1,0 +1,124 @@
+"""Column-packed (colpack) W4A8 kernel tests: repack roundtrip, interpret-
+mode kernel vs dequantize+matmul, and the model-level repack hook.
+
+The colpack layout packs the two nibbles of a byte as output columns
+(j, j + out/2) of one input row so the Pallas kernel recovers both output
+halves from TWO int8 dots (ops/pallas_qmm.py), replacing the rowpack
+scheme's three. TPU-native replacement for the reference's
+``aten._weight_int4pack_mm`` (reference: quantize.py:414-425).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cold_compress_tpu.models import transformer as T
+from cold_compress_tpu.ops.linear import (
+    dequantize_weight,
+    is_quantized,
+    to_colpack,
+)
+from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_cp_stacked
+from cold_compress_tpu.quantization.weight_quant import quantize_weight_int4
+
+
+def _leaf(rng, IN, OUT, gs=128):
+    return quantize_weight_int4(
+        jnp.asarray(rng.randn(IN, OUT).astype(np.float32) * 0.05),
+        group_size=gs,
+    )
+
+
+def test_colpack_dequant_roundtrip():
+    rng = np.random.RandomState(0)
+    leaf = _leaf(rng, 256, 256)
+    cp = to_colpack(leaf)
+    assert cp.layout == "colpack"
+    assert cp.w.shape == (256, 128)
+    assert cp.scales.shape == (2, 2, 128)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_weight(cp, jnp.float32)),
+        np.asarray(dequantize_weight(leaf, jnp.float32)),
+    )
+
+
+@pytest.mark.parametrize("L", [1, 3, 8])
+def test_qmm_cp_matches_dequant(L):
+    """Interpret-mode colpack kernel == dequantize + matmul for the stacked
+    layout, at L=1 (decode), ragged, and padded row counts."""
+    rng = np.random.RandomState(1)
+    IN, OUT, NL = 512, 256, 3
+    leaves = [_leaf(rng, IN, OUT) for _ in range(NL)]
+    cps = [to_colpack(lf) for lf in leaves]
+    x = jnp.asarray(rng.randn(L, IN).astype(np.float32))
+    w_stack = jnp.stack([lf.w for lf in cps])
+    s_stack = jnp.stack([lf.scales for lf in cps])
+    z_stack = jnp.stack([lf.zeros for lf in cps])
+    for i, leaf in enumerate(leaves):
+        ref = np.asarray(x @ dequantize_weight(leaf, jnp.float32))
+        got = np.asarray(
+            qmm_w4a8_cp_stacked(
+                x, w_stack, s_stack, z_stack, jnp.int32(i), interpret=True
+            )
+        )
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < 0.02, f"layer {i}"
+
+
+def test_qmm_cp_multi_chunk():
+    """IN large enough that the kernel's chunk loop runs > 1 iteration
+    (ngf=16 groups vs ngc capped at 128//8=16 for L=8 ... use L=8, IN=4096
+    -> ngf=32, ngc=16, 2 chunks)."""
+    rng = np.random.RandomState(2)
+    IN, OUT = 4096, 256
+    leaf = _leaf(rng, IN, OUT)
+    cp = to_colpack(leaf)
+    x = jnp.asarray(rng.randn(8, IN).astype(np.float32) * 0.3)
+    ref = np.asarray(x @ dequantize_weight(leaf, jnp.float32))
+    got = np.asarray(
+        qmm_w4a8_cp_stacked(
+            x, cp.w[None], cp.scales[None], cp.zeros[None], 0,
+            interpret=True,
+        )
+    )
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.02
+
+
+def test_colpack_layer_params_generation_equivalence():
+    """colpack_layer_params repacks every int4 layer leaf; generation via
+    the XLA fallback (dequantize path) matches the rowpack run exactly."""
+    from cold_compress_tpu.caches import CacheSpec
+    from cold_compress_tpu.models.config import ModelConfig
+    from cold_compress_tpu.quantization.weight_quant import quantize_params
+    from cold_compress_tpu.runtime.generate import generate
+
+    cfg = ModelConfig.from_name("TestTiny")
+    params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = quantize_params(params, mode="int4", group_size=32)
+    rope = T.make_rope_table(cfg)
+    specs = tuple(
+        CacheSpec(
+            cache_strategy="full", max_cache_length=64, max_seq_length=64
+        )
+        for _ in range(cfg.n_layer)
+    )
+
+    def run(ps):
+        caches = T.init_caches(cfg, specs, 1, jnp.float32)
+        seq, _, _ = generate(
+            cfg, ps, rope, caches, list(range(5, 40)), 8, prefill_bucket=64
+        )
+        return seq
+
+    fused = T.fuse_layer_params(T.stack_layer_params(params))
+    cp = T.colpack_layer_params(fused)
+
+    kinds = [
+        leaf.layout
+        for leaf in jax.tree.leaves(cp["layers"], is_leaf=is_quantized)
+        if is_quantized(leaf) and leaf.kind == "int4"
+    ]
+    assert kinds and all(k == "colpack" for k in kinds)
+    assert run(fused) == run(cp)
