@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--model", default="Meta-Llama-3-8B-Instruct")
     ap.add_argument("--smoke", action="store_true", help="Tiny config on CPU.")
     ap.add_argument("--weight_bits", type=int, default=4, choices=[16, 8, 4])
+    ap.add_argument(
+        "--head_bits", type=int, default=8, choices=[8, 4],
+        help="Vocab-head weight bits (int8 parity default; 4 halves the "
+        "second-largest decode byte stream via the tiled colpack kernel).",
+    )
     ap.add_argument("--cache_bits", type=int, default=None, choices=[8, 4, 2])
     ap.add_argument("--strategy", default="heavy_hitter")
     ap.add_argument("--context", type=int, default=8192)
@@ -78,7 +83,8 @@ def main():
         params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     else:
         params = random_quantized_params(
-            cfg, mode=f"int{args.weight_bits}"
+            cfg, mode=f"int{args.weight_bits}",
+            head_mode=f"int{args.head_bits}",
         )
     rope = T.make_rope_table(cfg)
     log(f"params built in {time.time() - t0:.1f}s")
@@ -108,6 +114,9 @@ def main():
             # Column-packed int4 layout halves the decode kernel's MXU work
             # (ops/pallas_qmm.py). No-op for bf16/int8 weights.
             params = T.colpack_layer_params(params)
+            # Tiled int8 vocab head: contiguous blocks for the Pallas
+            # one-dot W8A8 kernel (second-largest decode byte stream).
+            params = T.tile_output_head(params)
         log("using stacked (scan-over-layers) execution, fused projections")
 
     prompt_len = args.context - args.decode_tokens - 8
@@ -166,6 +175,7 @@ def main():
                 "config": {
                     "model": args.model,
                     "weight_bits": args.weight_bits,
+                    "head_bits": args.head_bits,
                     "cache_bits": args.cache_bits,
                     "strategy": args.strategy,
                     "context": args.context,

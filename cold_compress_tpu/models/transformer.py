@@ -633,6 +633,28 @@ def fuse_layer_params(params: Params) -> Params:
     return {**params, "layers": layers}
 
 
+def tile_output_head(params: Params, tile_out: int = 512) -> Params:
+    """Repack an int8 vocab head into the tiled8 decode layout.
+
+    The head is the second-largest per-token byte stream after the layer
+    stack (0.5 GB/token for a 128k vocab); the tiled layout feeds the
+    Pallas one-dot W8A8 kernel (ops/pallas_qmm.py::qmm_w8a8_tiled) instead
+    of the slower barriered XLA int8 dot. Layout-only: logits are
+    bit-identical (padded columns are sliced off inside ops/linear.py).
+    Safe under TP at the moment only for tp == 1 callers, like colpack."""
+    out_w = params.get("output")
+    if is_quantized(out_w) and out_w.layout == "rowpack":
+        from ..ops.linear import to_colpack_tiled, to_tiled_int8
+
+        if out_w.kind == "int8":
+            params = {**params, "output": to_tiled_int8(out_w, tile_out)}
+        elif out_w.kind == "int4":
+            # int4 head (--head_bits 4): colpack halves both the bytes and
+            # the per-block MXU work; tiled for contiguous DMA.
+            params = {**params, "output": to_colpack_tiled(out_w, tile_out)}
+    return params
+
+
 def colpack_layer_params(params: Params) -> Params:
     """Repack the layers' int4 leaves into the column-packed decode layout.
 

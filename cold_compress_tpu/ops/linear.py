@@ -47,7 +47,12 @@ class QuantizedWeight:
     # input rows i and i + in/2 of one output column) or "colpack" (decode
     # acceleration format: nibbles are output columns j and j + out/2 of one
     # input row; see ops/pallas_qmm.py qmm_w4a8_cp_stacked).
+    # int8 layout: "rowmajor" flat [in, out] (default) or "tiled8" — blocks
+    # [T, in, TO] contiguous in HBM with OUT zero-padded to T*TO (decode
+    # acceleration for the vocab head; see ops/pallas_qmm.py qmm_w8a8_tiled).
     layout: str = field(default="rowpack", metadata=dict(static=True))
+    # True output width for layouts that pad OUT (tiled8).
+    out_true: Optional[int] = field(default=None, metadata=dict(static=True))
 
     def resolved(self) -> "QuantizedWeight":
         """Materialize the selected layer of a stacked leaf (XLA fuses the
@@ -140,10 +145,75 @@ def to_colpack(w_leaf: QuantizedWeight) -> QuantizedWeight:
     )
 
 
+def to_tiled_int8(
+    w_leaf: QuantizedWeight, tile_out: int = 512
+) -> QuantizedWeight:
+    """Repack a rowmajor int8 leaf [in, out] into contiguous HBM blocks
+    [T, in, TO] (OUT zero-padded to T*TO; padded columns get scale 0).
+
+    One-time setup transform for the vocab head: the flat layout's blocks
+    are strided rows that this backend's DMA streams well below peak,
+    while tile-major blocks stream contiguously (same trick as the tiled
+    colpack layer stacks)."""
+    assert w_leaf.kind == "int8" and w_leaf.layout == "rowpack"
+    w, s = w_leaf.w, w_leaf.scales
+    IN, OUT = w.shape
+    pad = (-OUT) % tile_out
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        s = jnp.pad(s, (0, pad))
+    T = (OUT + pad) // tile_out
+    wt = w.reshape(IN, T, tile_out).transpose(1, 0, 2)
+    st = s.reshape(T, tile_out).astype(jnp.float32)
+    return dataclasses.replace(
+        w_leaf, w=wt, scales=st, layout="tiled8", out_true=OUT
+    )
+
+
+def to_colpack_tiled(
+    w_leaf: QuantizedWeight, tile_out: int = 512
+) -> QuantizedWeight:
+    """Repack a rowpack int4 leaf into TILED colpack blocks for the wide
+    vocab head: w [T, in, TOh] contiguous in HBM (OUT zero-padded so that
+    (OUT/2) % TOh == 0; padded columns get scale 0 = zero logits, sliced
+    off in ``linear``), scales/zeros [2, in/gs, OUTh] flat as the stacked
+    colpack kernel expects. One-time setup transform like to_colpack."""
+    assert w_leaf.kind == "int4" and w_leaf.layout == "rowpack"
+    w, s, z = w_leaf.w, w_leaf.scales, w_leaf.zeros
+    OUT = w.shape[-1]
+    pad = (-OUT) % (2 * tile_out)
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        s = jnp.pad(s, ((0, 0), (0, pad)))
+        z = jnp.pad(z, ((0, 0), (0, pad)))
+    cp = to_colpack(dataclasses.replace(w_leaf, w=w, scales=s, zeros=z))
+    IN, OUTh = cp.w.shape
+    T = OUTh // tile_out
+    wt = cp.w.reshape(IN, T, tile_out).transpose(1, 0, 2)
+    return dataclasses.replace(
+        cp, w=wt, layout="colpack_tiled", out_true=OUT
+    )
+
+
 def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize a quantized weight leaf as a dense [in, out] array."""
     if not is_quantized(w_leaf):
         return w_leaf.astype(dtype)
+    if w_leaf.kind == "int4" and w_leaf.layout == "colpack_tiled":
+        T, IN, TOh = w_leaf.w.shape
+        flat = dataclasses.replace(
+            w_leaf,
+            w=w_leaf.w.transpose(1, 0, 2).reshape(IN, T * TOh),
+            layout="colpack",
+        )
+        return dequantize_weight(flat, dtype)[:, : w_leaf.out_true]
+    if w_leaf.kind == "int8" and w_leaf.layout == "tiled8":
+        T, IN, TO = w_leaf.w.shape
+        w = w_leaf.w.transpose(1, 0, 2).reshape(IN, T * TO)
+        s = w_leaf.scales.reshape(T * TO)
+        return (w.astype(jnp.float32) * s[None, :])[
+            :, : w_leaf.out_true
+        ].astype(dtype)
     if w_leaf.kind == "int8":
         return (
             w_leaf.w.astype(jnp.float32) * w_leaf.scales[None, :]
@@ -221,10 +291,40 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             qmm_w4a8,
             qmm_w4a8_cp_stacked,
             qmm_w4a8_stacked,
+            qmm_w8a8_tiled,
             w4a8_cp_supported,
+            w4a8_cpt_supported,
             w4a8_supported,
+            w8a8_tiled_supported,
         )
 
+        if (
+            w_leaf.kind == "int8"
+            and w_leaf.layout == "tiled8"
+            and w8a8_tiled_supported(x2.shape, w_leaf)
+        ):
+            y = qmm_w8a8_tiled(x2, w_leaf.w, w_leaf.scales)
+            y = y[:, : w_leaf.out_true]
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "colpack_tiled"
+            and w4a8_cpt_supported(x2.shape, w_leaf)
+        ):
+            # Tiled colpack head: one unit stack axis, layer idx 0; the
+            # kernel's 4D (tiled) weight path fetches contiguous blocks.
+            y = qmm_w4a8_cp_stacked(
+                x2, w_leaf.w[None], w_leaf.scales[None],
+                w_leaf.zeros[None], 0, group_size=w_leaf.group_size,
+            )
+            y = y[:, : w_leaf.out_true]
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         if (
             w_leaf.kind == "int4"
             and w_leaf.layout == "colpack"
@@ -268,7 +368,12 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         # materialize [P, out] int32/f32 intermediates, so large-L int8
         # matmuls take the per-layer dequant path below (transient bf16
         # weights for one layer at a time under the layer scan).
-        if w_leaf.kind == "int8" and on_tpu and x2.shape[0] <= 32:
+        if (
+            w_leaf.kind == "int8"
+            and w_leaf.layout != "tiled8"
+            and on_tpu
+            and x2.shape[0] <= 32
+        ):
             y = w8a8_matmul(x2, w_leaf)
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:

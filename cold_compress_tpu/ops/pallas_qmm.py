@@ -390,6 +390,83 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
     return (y * sx)[:true_L]
 
 
+# --------------------------------------------------------------------------
+# W8A8 tiled matvec (the 128k-vocab head)
+# --------------------------------------------------------------------------
+#
+# The head is a single [4096, 128256] int8 weight — 0.5 GB read per decoded
+# token, the second-largest byte stream after the layer stack. The XLA
+# barriered int8 dot runs it at ~276 GB/s; this kernel streams the same
+# bytes through the Pallas tile pipeline used by the W4A8 layer kernels
+# (contiguous [T, IN, TO] blocks, one int8 MXU dot + f32 scale epilogue
+# per block). The wrapper pads OUT to a tile multiple; callers slice the
+# pad columns off before any argmax.
+
+
+def _w8a8_kernel(x_ref, w_ref, s_ref, o_ref):
+    d = jnp.dot(x_ref[...], w_ref[0], preferred_element_type=jnp.int32)
+    o_ref[...] = d.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
+    """x [L, IN] @ tiled int8 weight [T, IN, TO] (scales [T, TO] f32).
+
+    Returns [L, T*TO] f32 — the caller slices off any OUT padding. Per-row
+    dynamic activation quantization as in the W4A8 kernels.
+    """
+    x, true_L = _pad_rows(x)
+    L, IN = x.shape
+    T, _, TO = w_tiled.shape
+    xq, sx = _quantize_rows(x)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((L, IN), lambda j: (0, 0)),
+            pl.BlockSpec((1, IN, TO), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, TO), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((L, TO), lambda j: (0, j)),
+    )
+    y = pl.pallas_call(
+        _w8a8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, T * TO), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * IN * T * TO,
+            bytes_accessed=T * IN * TO + L * IN + L * T * TO * 4,
+            transcendentals=0,
+        ),
+    )(xq, w_tiled, s_tiled)
+    return (y * sx)[:true_L]
+
+
+def w8a8_tiled_supported(x_2d_shape, w_leaf) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    L, IN = x_2d_shape
+    return w_leaf.kind == "int8" and L <= 32 and IN % 256 == 0
+
+
+def w4a8_cpt_supported(x_2d_shape, w_leaf) -> bool:
+    """Gate for the TILED column-packed head kernel (layout ==
+    'colpack_tiled', w [T, in, TOh])."""
+    if jax.default_backend() != "tpu":
+        return False
+    L, IN = x_2d_shape
+    TOh = w_leaf.w.shape[-1]
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and L <= 32
+        and IN % 256 == 0
+        and TOh % 128 == 0
+        and IN % gs == 0
+    )
+
+
 def w4a8_cp_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the column-packed kernel (leaf layout == 'colpack')."""
     if jax.default_backend() != "tpu":

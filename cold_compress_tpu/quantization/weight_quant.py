@@ -129,6 +129,7 @@ def random_quantized_params(
     mode: str = "int4",
     group_size: int = 128,
     dtype=jnp.bfloat16,
+    head_mode: str = "int8",
 ):
     """Random weights created directly in quantized form.
 
@@ -220,8 +221,13 @@ def random_quantized_params(
         "layers": layers,
         "norm": jnp.ones((D,), dtype),
         # Vocab head in int8 (see quantize_params): single-position logits
-        # ride the native int8 MXU path at any weight mode.
+        # ride the native int8 MXU path at any weight mode; --head_bits 4
+        # switches it to int4 (tiled colpack kernel halves head bytes).
         "output": None
         if cfg.tie_word_embeddings
-        else rand_q8(D, cfg.vocab_size),
+        else (
+            rand_q(D, cfg.vocab_size)
+            if head_mode == "int4"
+            else rand_q8(D, cfg.vocab_size)
+        ),
     }

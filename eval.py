@@ -186,6 +186,7 @@ def run_task(
             params = T.fuse_layer_params(params)  # see generate.py
             if jax.default_backend() == "tpu":
                 params = T.colpack_layer_params(params)
+                params = T.tile_output_head(params)
     if args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 

@@ -110,6 +110,7 @@ def main(args) -> None:
                 # Column-packed int4 layout halves the decode kernel's MXU
                 # work (ops/pallas_qmm.py). No-op for bf16/int8 weights.
                 params = T.colpack_layer_params(params)
+                params = T.tile_output_head(params)
 
     if args.tp > 1:
         # Shard weights column/row-wise and caches on the KV-head axis over

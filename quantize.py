@@ -26,6 +26,7 @@ def quantize(
     calibration_limit: int = 10,
     calibration_seq_length: int = 512,
     model_name=None,
+    head_bits: int = 8,
 ) -> None:
     t0 = time.time()
     cfg, params, rope = load_model(checkpoint_path, model_name=model_name)
@@ -39,14 +40,19 @@ def quantize(
             "Quantizing model weights for int8 weight-only symmetric "
             "per-channel quantization"
         )
-        quantized = quantize_params(params, mode="int8")
+        quantized = quantize_params(
+            params, mode="int8", output_mode=f"int{head_bits}"
+        )
         new_path = dir_name / f"{base_name}_int8.npz"
     elif mode == "int4":
         print(
             f"Quantizing model weights for int4 weight-only affine "
             f"per-channel groupwise quantization (groupsize={groupsize})"
         )
-        quantized = quantize_params(params, mode="int4", group_size=groupsize)
+        quantized = quantize_params(
+            params, mode="int4", group_size=groupsize,
+            output_mode=f"int{head_bits}",
+        )
         new_path = dir_name / f"{base_name}_int4.g{groupsize}.npz"
     elif mode == "int4-gptq":
         from cold_compress_tpu.quantization.gptq import gptq_quantize_params
@@ -91,6 +97,11 @@ if __name__ == "__main__":
         choices=["int8", "int4", "int4-gptq"],
     )
     parser.add_argument("--groupsize", type=int, default=128)
+    parser.add_argument(
+        "--head_bits", type=int, default=8, choices=[8, 4],
+        help="Vocab-head weight bits (int8 default; 4 halves the decode "
+        "head byte stream via the tiled colpack kernel).",
+    )
     parser.add_argument("--calibration_limit", type=int, default=10)
     parser.add_argument("--calibration_seq_length", type=int, default=512)
     parser.add_argument(
@@ -109,4 +120,5 @@ if __name__ == "__main__":
         calibration_limit=args.calibration_limit,
         calibration_seq_length=args.calibration_seq_length,
         model_name=args.model_name,
+        head_bits=args.head_bits,
     )
