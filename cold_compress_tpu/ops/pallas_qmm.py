@@ -30,6 +30,7 @@ Layouts (matching quantization/weight_quant.py / ops/linear.py::pack_int4):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_OUT = 256
+
+# Experiment knobs (bench A/B without code edits):
+#   CCT_QMM_VMEM_MB — raise the Mosaic scoped-vmem limit (default ~16 MB)
+#                     so bigger double-buffered weight blocks fit.
+#   CCT_QMM_TILE    — override the output-tile budget picker.
+_VMEM_MB = int(os.environ.get("CCT_QMM_VMEM_MB", "0"))
+_TILE_ENV = int(os.environ.get("CCT_QMM_TILE", "0"))
+
+
+def _compiler_params():
+    if _VMEM_MB:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024
+        )
+    return None
 
 
 def _pick_tile_out(INh: int, OUT: int) -> int:
@@ -202,6 +218,7 @@ def qmm_w4a8_stacked(x, w_stack, s_stack, z_stack, layer_idx,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, OUT), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=3 * L * IN * OUT,
@@ -293,6 +310,9 @@ def _w4a8_cp_kernel(idx_ref, xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
 
 
 def _pick_tile_out_cp(IN: int, OUTh: int) -> int:
+    if _TILE_ENV:
+        if OUTh % _TILE_ENV == 0:
+            return _TILE_ENV
     budget = 3_700_000  # int8 bytes: [IN, TOh] packed block
     for cand in (1024, 512, 256, 128):
         if OUTh % cand == 0 and IN * cand <= budget:
@@ -375,6 +395,7 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * L * IN * OUTh * 2,
@@ -433,6 +454,7 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
         _w8a8_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, T * TO), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * L * IN * T * TO,
