@@ -55,6 +55,30 @@ class HeavyHitterCache(CacheStrategy):
     @classmethod
     def eviction_idx(cls, spec, state, input_pos):
         W = spec.history_window_size
+
+        from ..ops.pallas_evict import fused_evict_supported, fused_hh_evict
+
+        if fused_evict_supported(spec, state):
+            # One Pallas pass replaces the ~10 dependent XLA ops below
+            # (score, protect, argmin, zero-at-idx) — the ops are tiny in
+            # bytes but each costs a sequencing slot in the decode step.
+            B = state.pos.shape[0]
+            ipos = jnp.broadcast_to(
+                jnp.asarray(input_pos).reshape(B, -1)[:, 0], (B,)
+            )
+            idx, num2, denom2 = fused_hh_evict(
+                state.extra["attn_num"],
+                state.extra["attn_denom"],
+                state.pos,
+                ipos,
+                global_tokens=int(spec.global_tokens),
+                recent_window=int(spec.recent_window),
+            )
+            new_extra = dict(state.extra)
+            new_extra["attn_num"] = num2
+            new_extra["attn_denom"] = denom2
+            return idx, state.replace(extra=new_extra)
+
         num = (
             state.extra["attn_num"]
             if W == 1
