@@ -61,12 +61,66 @@ def _kernel(idx_ref, x_ref, w_ref, o_ref, *, variant):
     o_ref[...] = acc
 
 
+def _kernel2(idx_ref, x_ref, wa_ref, wb_ref, oa_ref, ob_ref, *, variant):
+    """Dual-stream: two independent weight inputs per grid step — two
+    block DMAs in flight if the single-pipeline rate is the cap."""
+    for w_ref, o_ref in ((wa_ref, oa_ref), (wb_ref, ob_ref)):
+        b = w_ref[0, 0]
+        if variant == "dma2":
+            o_ref[...] = b[: o_ref.shape[0], :].astype(jnp.float32)
+            continue
+        d1 = jnp.dot(x_ref[...], b, preferred_element_type=jnp.int32)
+        acc = d1.astype(jnp.float32)
+        if variant == "cp2x2":
+            lo = b & 0xF
+            d2 = jnp.dot(x_ref[...], lo, preferred_element_type=jnp.int32)
+            acc = acc + d2.astype(jnp.float32) * 0.0625
+        o_ref[...] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("variant", "fat"))
 def qmm_probe(x, w_tiled, layer_idx, variant="cp2", fat=False):
     Lx, IN = x.shape
-    NLx, T, _, TO = w_tiled.shape
     xq = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
     xq = jax.lax.optimization_barrier(xq)
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=VMEM_FAT) if fat else None
+    )
+    if variant in ("dma2", "cp2x2", "onedot2"):
+        # Split tiles into two independent streams (even/odd halves).
+        NLx, T, _, TO = w_tiled.shape
+        Th = T // 2
+        wa = w_tiled[:, :Th]
+        wb = w_tiled[:, Th:]
+        kern = functools.partial(_kernel2, variant=variant)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Th,),
+            in_specs=[
+                pl.BlockSpec((Lx, IN), lambda j, idx: (0, 0)),
+                pl.BlockSpec(
+                    (1, 1, IN, TO), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, IN, TO), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((Lx, TO), lambda j, idx: (0, j)),
+                pl.BlockSpec((Lx, TO), lambda j, idx: (0, j)),
+            ],
+        )
+        ya, yb = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Lx, Th * TO), jnp.float32),
+                jax.ShapeDtypeStruct((Lx, Th * TO), jnp.float32),
+            ],
+            compiler_params=params,
+        )(jnp.asarray([layer_idx], jnp.int32), xq, wa, wb)
+        return jnp.concatenate([ya, yb], axis=-1)
+    NLx, T, _, TO = w_tiled.shape
     kern = functools.partial(_kernel, variant=variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -76,9 +130,6 @@ def qmm_probe(x, w_tiled, layer_idx, variant="cp2", fat=False):
             pl.BlockSpec((1, 1, IN, TO), lambda j, idx: (idx[0], j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((Lx, TO), lambda j, idx: (0, j)),
-    )
-    params = (
-        pltpu.CompilerParams(vmem_limit_bytes=VMEM_FAT) if fat else None
     )
     return pl.pallas_call(
         kern,
@@ -105,7 +156,8 @@ def build(fat):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="cp2",
-                    choices=["dma", "onedot", "cp2"])
+                    choices=["dma", "onedot", "cp2",
+                             "dma2", "onedot2", "cp2x2"])
     ap.add_argument("--fat", action="store_true")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}  variant={args.variant} "

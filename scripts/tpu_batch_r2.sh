@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-2 TPU measurement batch: run everything queued while the tunnel was
+# down. Sequential (one process holds the chip). Logs under /tmp/r2batch.
+set -u
+mkdir -p /tmp/r2batch
+cd /root/repo
+
+run() {
+  name=$1; shift
+  echo "=== $name: $*" | tee -a /tmp/r2batch/summary.log
+  timeout 2400 "$@" > "/tmp/r2batch/$name.log" 2>&1
+  rc=$?
+  tail -3 "/tmp/r2batch/$name.log" | grep -v WARNING | tee -a /tmp/r2batch/summary.log
+  echo "--- rc=$rc" | tee -a /tmp/r2batch/summary.log
+}
+
+# 1. Weight-stream decomposition probes (the big lever: 8.2 ms/token)
+run probe_dma    python -u scripts/perf_probe8.py --variant dma
+run probe_onedot python -u scripts/perf_probe8.py --variant onedot
+run probe_cp2    python -u scripts/perf_probe8.py --variant cp2
+run probe_dma2   python -u scripts/perf_probe8.py --variant dma2
+run probe_cp2x2  python -u scripts/perf_probe8.py --variant cp2x2
+run probe_cp2_fat python -u scripts/perf_probe8.py --variant cp2 --fat
+
+# 2. Decode parity: fused evict kernel must not change generated tokens
+run parity_evict python -u scripts/parity_fused_evict.py
+
+# 3. Bench A/B: new head layouts + fused evict
+run bench_head8  python -u bench.py            # tiled8 head + fused evict
+run bench_head4  python -u bench.py --head_bits 4
+run bench_noevict env CCT_FUSED_EVICT=0 python -u bench.py
+
+echo "ALL DONE" | tee -a /tmp/r2batch/summary.log
