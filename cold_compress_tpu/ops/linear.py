@@ -158,7 +158,9 @@ def to_tiled_int8(
     assert w_leaf.kind == "int8" and w_leaf.layout == "rowpack"
     w, s = w_leaf.w, w_leaf.scales
     IN, OUT = w.shape
-    pad = (-OUT) % tile_out
+    # Pad to a multiple of 4 tiles so the multi-stream kernel (which
+    # splits the tile range over N DMA pipelines) always divides evenly.
+    pad = (-OUT) % (4 * tile_out)
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad)))
         s = jnp.pad(s, (0, pad))
@@ -181,7 +183,8 @@ def to_colpack_tiled(
     assert w_leaf.kind == "int4" and w_leaf.layout == "rowpack"
     w, s, z = w_leaf.w, w_leaf.scales, w_leaf.zeros
     OUT = w.shape[-1]
-    pad = (-OUT) % (2 * tile_out)
+    # 4-tile multiple for the multi-stream split (see to_tiled_int8).
+    pad = (-OUT) % (2 * 4 * tile_out)
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad)))
         s = jnp.pad(s, ((0, 0), (0, pad)))

@@ -43,8 +43,14 @@ TILE_OUT = 256
 #   CCT_QMM_VMEM_MB — raise the Mosaic scoped-vmem limit (default ~16 MB)
 #                     so bigger double-buffered weight blocks fit.
 #   CCT_QMM_TILE    — override the output-tile budget picker.
+#   CCT_QMM_STREAMS — weight blocks fetched through N independent DMA
+#                     pipelines per grid step (same HBM buffer, offset
+#                     index maps). The single-pipeline rate on this
+#                     backend caps well below what the part streams for
+#                     a fused XLA dot; N=2 doubles in-flight block DMAs.
 _VMEM_MB = int(os.environ.get("CCT_QMM_VMEM_MB", "0"))
 _TILE_ENV = int(os.environ.get("CCT_QMM_TILE", "0"))
+_STREAMS = int(os.environ.get("CCT_QMM_STREAMS", "1"))
 
 
 def _compiler_params():
@@ -263,12 +269,11 @@ def qmm_w4a8(x, w_packed, scales, zeros, group_size: int = 128,
 # to exact per-group partials after the dot.
 
 
-def _w4a8_cp_kernel(idx_ref, xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
-                    group_size, n_groups, groups_per_chunk, rows_l,
-                    tiled=False):
+def _cp_tile_body(xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
+                  group_size, n_groups, groups_per_chunk, rows_l, tiled):
     """Column-packed dual-dot W4A8 for one [IN, TOh] packed tile.
 
-    Outputs o_ref [2, L, TOh]: plane 0 = output columns [j*TOh ...) of the
+    Writes o_ref [2, L, TOh]: plane 0 = output columns [j*TOh ...) of the
     low-nibble half, plane 1 = the matching columns of the high half
     (final layout assembled by the wrapper). ``tiled`` weights carry an
     extra leading tile axis (block (1, 1, IN, TOh)).
@@ -307,6 +312,30 @@ def _w4a8_cp_kernel(idx_ref, xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
     # q-8 signed already, so only the zero term remains.
     o_ref[0] = acc_lo + jnp.dot(xs, z_all[0] - 8.0 * s_all[0])
     o_ref[1] = acc_hi + jnp.dot(xs, z_all[1])
+
+
+def _w4a8_cp_kernel(idx_ref, xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref,
+                    *, group_size, n_groups, groups_per_chunk, rows_l,
+                    tiled=False):
+    _cp_tile_body(
+        xbd_ref, xs_ref, w_ref, s_ref, z_ref, o_ref,
+        group_size=group_size, n_groups=n_groups,
+        groups_per_chunk=groups_per_chunk, rows_l=rows_l, tiled=tiled,
+    )
+
+
+def _w4a8_cp_kernel_ms(idx_ref, xbd_ref, xs_ref, *refs, group_size,
+                       n_groups, groups_per_chunk, rows_l, tiled, streams):
+    """Multi-stream variant: ``streams`` (w, s, z) input triples followed by
+    ``streams`` outputs — each stream's block rides its own DMA pipeline."""
+    S = streams
+    for i in range(S):
+        _cp_tile_body(
+            xbd_ref, xs_ref, refs[3 * i], refs[3 * i + 1], refs[3 * i + 2],
+            refs[3 * S + i],
+            group_size=group_size, n_groups=n_groups,
+            groups_per_chunk=groups_per_chunk, rows_l=rows_l, tiled=tiled,
+        )
 
 
 def _pick_tile_out_cp(IN: int, OUTh: int) -> int:
@@ -370,42 +399,102 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
         ngf * L, CH
     )
 
-    kernel = functools.partial(
-        _w4a8_cp_kernel, group_size=gs, n_groups=ngf,
-        groups_per_chunk=ngc, rows_l=L, tiled=tiled,
+    T = OUTh // TOh
+    S = _STREAMS if (_STREAMS > 1 and T % _STREAMS == 0) else 1
+    cost = pl.CostEstimate(
+        flops=2 * L * IN * OUTh * 2,
+        bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+        transcendentals=0,
     )
-    w_spec = (
-        pl.BlockSpec((1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0))
-        if tiled
-        else pl.BlockSpec((1, IN, TOh), lambda j, idx: (idx[0], 0, j))
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(OUTh // TOh,),
-        in_specs=[
+    idx_arg = jnp.asarray([layer_idx], jnp.int32)
+
+    if S > 1:
+        # The same HBM buffers feed S operands whose index maps cover
+        # disjoint tile ranges — S block DMAs in flight per grid step.
+        Ts = T // S
+        kernel = functools.partial(
+            _w4a8_cp_kernel_ms, group_size=gs, n_groups=ngf,
+            groups_per_chunk=ngc, rows_l=L, tiled=tiled, streams=S,
+        )
+        in_specs = [
             pl.BlockSpec((ngf * L, CH), lambda j, idx: (0, 0)),
             pl.BlockSpec((L, ngf), lambda j, idx: (0, 0)),
-            w_spec,
-            pl.BlockSpec((1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)),
-            pl.BlockSpec((1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j)),
-    )
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * IN * OUTh * 2,
-            bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
-            transcendentals=0,
-        ),
-    )(
-        jnp.asarray([layer_idx], jnp.int32),
-        xbd, xs, w_stack, s_stack, z_stack,
-    )
+        ]
+        operands = []
+        for i in range(S):
+            off = i * Ts
+            w_spec = (
+                pl.BlockSpec(
+                    (1, 1, IN, TOh),
+                    lambda j, idx, off=off: (idx[0], j + off, 0, 0),
+                )
+                if tiled
+                else pl.BlockSpec(
+                    (1, IN, TOh),
+                    lambda j, idx, off=off: (idx[0], 0, j + off),
+                )
+            )
+            sz_spec = pl.BlockSpec(
+                (1, 2, ngf, TOh),
+                lambda j, idx, off=off: (idx[0], 0, 0, j + off),
+            )
+            in_specs += [w_spec, sz_spec, sz_spec]
+            operands += [w_stack, s_stack, z_stack]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Ts,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j))
+                for _ in range(S)
+            ],
+        )
+        parts = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((2, L, Ts * TOh), jnp.float32)
+                for _ in range(S)
+            ],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(idx_arg, xbd, xs, *operands)
+        y = jnp.concatenate(parts, axis=-1)
+    else:
+        kernel = functools.partial(
+            _w4a8_cp_kernel, group_size=gs, n_groups=ngf,
+            groups_per_chunk=ngc, rows_l=L, tiled=tiled,
+        )
+        w_spec = (
+            pl.BlockSpec((1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0))
+            if tiled
+            else pl.BlockSpec((1, IN, TOh), lambda j, idx: (idx[0], 0, j))
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((ngf * L, CH), lambda j, idx: (0, 0)),
+                pl.BlockSpec((L, ngf), lambda j, idx: (0, 0)),
+                w_spec,
+                pl.BlockSpec(
+                    (1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, 2, ngf, TOh), lambda j, idx: (idx[0], 0, 0, j)
+                ),
+            ],
+            out_specs=pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(idx_arg, xbd, xs, w_stack, s_stack, z_stack)
     # [2, L, OUTh] -> [L, OUT] with low-half columns first.
     y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
     return (y * sx)[:true_L]
@@ -429,6 +518,15 @@ def _w8a8_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[...] = d.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
 
 
+def _w8a8_kernel_ms(x_ref, *refs, streams):
+    S = streams
+    for i in range(S):
+        w_ref, s_ref = refs[2 * i], refs[2 * i + 1]
+        o_ref = refs[2 * S + i]
+        d = jnp.dot(x_ref[...], w_ref[0], preferred_element_type=jnp.int32)
+        o_ref[...] = d.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
     """x [L, IN] @ tiled int8 weight [T, IN, TO] (scales [T, TO] f32).
@@ -440,6 +538,45 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
     L, IN = x.shape
     T, _, TO = w_tiled.shape
     xq, sx = _quantize_rows(x)
+    cost = pl.CostEstimate(
+        flops=2 * L * IN * T * TO,
+        bytes_accessed=T * IN * TO + L * IN + L * T * TO * 4,
+        transcendentals=0,
+    )
+    S = _STREAMS if (_STREAMS > 1 and T % _STREAMS == 0) else 1
+    if S > 1:
+        Ts = T // S
+        in_specs = [pl.BlockSpec((L, IN), lambda j: (0, 0))]
+        operands = []
+        for i in range(S):
+            off = i * Ts
+            in_specs += [
+                pl.BlockSpec(
+                    (1, IN, TO), lambda j, off=off: (j + off, 0, 0)
+                ),
+                pl.BlockSpec((1, TO), lambda j, off=off: (j + off, 0)),
+            ]
+            operands += [w_tiled, s_tiled]
+        parts = pl.pallas_call(
+            functools.partial(_w8a8_kernel_ms, streams=S),
+            grid_spec=pl.GridSpec(
+                grid=(Ts,),
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((L, TO), lambda j: (0, j))
+                    for _ in range(S)
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((L, Ts * TO), jnp.float32)
+                for _ in range(S)
+            ],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(xq, *operands)
+        y = jnp.concatenate(parts, axis=-1)
+        return (y * sx)[:true_L]
 
     grid_spec = pl.GridSpec(
         grid=(T,),
@@ -456,11 +593,7 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((L, T * TO), jnp.float32),
         compiler_params=_compiler_params(),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * IN * T * TO,
-            bytes_accessed=T * IN * TO + L * IN + L * T * TO * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(xq, w_tiled, s_tiled)
     return (y * sx)[:true_L]
 

@@ -33,10 +33,10 @@ def _leaf(rng, IN, OUT):
 def test_tiled8_dequant_roundtrip():
     """Repack (with OUT padding) then dequantize == original dequantize."""
     rng = np.random.RandomState(0)
-    leaf = _leaf(rng, 256, 300)  # 300 pads to 2 tiles of 256
+    leaf = _leaf(rng, 256, 300)  # 300 pads to 4 tiles of 256
     t8 = to_tiled_int8(leaf, tile_out=256)
     assert t8.layout == "tiled8"
-    assert t8.w.shape == (2, 256, 256)
+    assert t8.w.shape == (4, 256, 256)
     assert t8.out_true == 300
     np.testing.assert_array_equal(
         np.asarray(dequantize_weight(t8, jnp.float32)),
@@ -57,6 +57,61 @@ def test_qmm_w8a8_tiled_matches_dequant(L):
     )[:, :OUT]
     denom = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / denom < 0.02
+
+
+@pytest.mark.parametrize("streams", [2, 4])
+def test_qmm_w8a8_tiled_multistream(streams, monkeypatch):
+    """CCT_QMM_STREAMS splits the tile range over N DMA pipelines; math
+    must be identical to the single-stream path."""
+    import cold_compress_tpu.ops.pallas_qmm as Q
+
+    rng = np.random.RandomState(7)
+    IN, OUT = 512, 1024
+    leaf = _leaf(rng, IN, OUT)
+    t8 = to_tiled_int8(leaf, tile_out=128)  # T = 8 tiles
+    x = jnp.asarray(rng.randn(3, IN).astype(np.float32))
+    ref = np.asarray(qmm_w8a8_tiled(x, t8.w, t8.scales, interpret=True))
+    monkeypatch.setattr(Q, "_STREAMS", streams)
+    Q.qmm_w8a8_tiled.clear_cache()
+    got = np.asarray(qmm_w8a8_tiled(x, t8.w, t8.scales, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    Q.qmm_w8a8_tiled.clear_cache()
+
+
+@pytest.mark.parametrize("streams", [2, 3])
+def test_qmm_cp_multistream(streams, monkeypatch):
+    import cold_compress_tpu.ops.pallas_qmm as Q
+    from cold_compress_tpu.ops.linear import to_colpack
+    from cold_compress_tpu.quantization.weight_quant import (
+        quantize_weight_int4,
+    )
+
+    rng = np.random.RandomState(8)
+    IN, OUT = 512, 1536  # OUTh=768, TOh=128 -> T=6 (divisible by 2 and 3)
+    leaf = quantize_weight_int4(
+        jnp.asarray(rng.randn(IN, OUT).astype(np.float32) * 0.05),
+        group_size=128,
+    )
+    cp = to_colpack(leaf)
+    x = jnp.asarray(rng.randn(1, IN).astype(np.float32))
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_cp_stacked
+
+    ref = np.asarray(
+        qmm_w4a8_cp_stacked(
+            x, cp.w[None], cp.scales[None], cp.zeros[None], 0,
+            interpret=True, tile_out=128,
+        )
+    )
+    monkeypatch.setattr(Q, "_STREAMS", streams)
+    Q.qmm_w4a8_cp_stacked.clear_cache()
+    got = np.asarray(
+        qmm_w4a8_cp_stacked(
+            x, cp.w[None], cp.scales[None], cp.zeros[None], 0,
+            interpret=True, tile_out=128,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+    Q.qmm_w4a8_cp_stacked.clear_cache()
 
 
 def test_linear_tiled8_fallback_matches_rowmajor():
