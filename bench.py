@@ -17,6 +17,7 @@ materialized directly so the 8B model fits in one v5e chip's 16GB HBM.
 
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
@@ -114,9 +115,11 @@ def main():
             # Column-packed int4 layout halves the decode kernel's MXU work
             # (ops/pallas_qmm.py). No-op for bf16/int8 weights.
             params = T.colpack_layer_params(params)
-            # Tiled int8 vocab head: contiguous blocks for the Pallas
-            # one-dot W8A8 kernel (second-largest decode byte stream).
-            params = T.tile_output_head(params)
+            # Tiled vocab head: contiguous blocks for the Pallas one-dot
+            # W8A8 / colpack W4A8 kernels (second-largest decode byte
+            # stream). Opt-in until Mosaic-validated on the real chip.
+            if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+                params = T.tile_output_head(params)
         log("using stacked (scan-over-layers) execution, fused projections")
 
     prompt_len = args.context - args.decode_tokens - 8

@@ -101,10 +101,12 @@ def fused_hh_evict(num, denom, pos, input_pos, *, global_tokens: int,
 
 def fused_evict_supported(spec, state) -> bool:
     """Gate: TPU, single-slot history, unthresholded, lane-aligned C.
-    CCT_FUSED_EVICT=0 falls back to the XLA path (A/B validation)."""
+    Opt-in via CCT_FUSED_EVICT=1 until Mosaic-validated on the real chip
+    (the tunnel was down when this kernel landed); default stays the XLA
+    path so the driver's bench never rides an uncompiled kernel."""
     import os
 
-    if os.environ.get("CCT_FUSED_EVICT", "1") == "0":
+    if os.environ.get("CCT_FUSED_EVICT", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -10,6 +10,7 @@ directories encode the relevant cache hyper-parameters.
 """
 
 import argparse
+import os
 import json
 import math
 import re
@@ -186,7 +187,8 @@ def run_task(
             params = T.fuse_layer_params(params)  # see generate.py
             if jax.default_backend() == "tpu":
                 params = T.colpack_layer_params(params)
-                params = T.tile_output_head(params)
+                if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+                    params = T.tile_output_head(params)
     if args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 

@@ -9,6 +9,7 @@ throughput measurement.
 """
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -110,7 +111,8 @@ def main(args) -> None:
                 # Column-packed int4 layout halves the decode kernel's MXU
                 # work (ops/pallas_qmm.py). No-op for bf16/int8 weights.
                 params = T.colpack_layer_params(params)
-                params = T.tile_output_head(params)
+                if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+                    params = T.tile_output_head(params)
 
     if args.tp > 1:
         # Shard weights column/row-wise and caches on the KV-head axis over

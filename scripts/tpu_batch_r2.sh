@@ -25,11 +25,13 @@ run probe_cp2_fat python -u scripts/perf_probe8.py --variant cp2 --fat
 # 2. Decode parity: fused evict kernel must not change generated tokens
 run parity_evict python -u scripts/parity_fused_evict.py
 
-# 3. Bench A/B: new head layouts + fused evict + multi-stream weights
-run bench_head8  python -u bench.py            # tiled8 head + fused evict
-run bench_head4  python -u bench.py --head_bits 4
-run bench_noevict env CCT_FUSED_EVICT=0 python -u bench.py
-run bench_s2     env CCT_QMM_STREAMS=2 python -u bench.py --head_bits 4
-run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 python -u bench.py --head_bits 4
+# 3. Bench A/B (features are opt-in until Mosaic-validated here)
+run bench_base   python -u bench.py            # current default path
+run bench_head8  env CCT_TILED_HEAD=1 python -u bench.py
+run bench_head4  env CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
+run bench_evict  env CCT_FUSED_EVICT=1 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
+run bench_s2     env CCT_QMM_STREAMS=2 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
+run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
+run bench_full   python -u bench.py --strategy full   # 48 tok/s anomaly recheck
 
 echo "ALL DONE" | tee -a /tmp/r2batch/summary.log
