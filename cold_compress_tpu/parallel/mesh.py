@@ -31,9 +31,31 @@ from ..ops.linear import QuantizedWeight, is_quantized
 def make_mesh(
     tp: int = 1, dp: int = 1, devices=None
 ) -> Mesh:
-    """Build a (dp, tp) mesh. On multi-host TPU pods, callers should order
-    ``devices`` so the tp axis rides ICI (default device order does)."""
-    devices = devices if devices is not None else jax.devices()
+    """Build a (dp, tp) mesh with tp innermost so it rides ICI.
+
+    Multi-host (DCN) layout: when the runtime spans multiple processes
+    (``jax.distributed`` initialized on a pod slice or across slices),
+    the data-parallel axis is placed across hosts and tensor parallelism
+    stays within each host — tp traffic is two all-reduces per layer per
+    token (latency-critical, must ride ICI), while dp needs no in-model
+    communication at all (each lane decodes independently; the reference's
+    job-level DP, parallelize_evals.py, has the same property).
+    """
+    if devices is None:
+        if jax.process_count() > 1:
+            from jax.experimental import mesh_utils
+
+            assert tp <= jax.local_device_count(), (
+                f"tp={tp} must fit within one host's "
+                f"{jax.local_device_count()} devices so its all-reduces "
+                "ride ICI; shard dp across hosts instead."
+            )
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // jax.process_count(), tp),
+                dcn_mesh_shape=(jax.process_count(), 1),
+            )
+            return Mesh(dev_array, axis_names=("dp", "tp"))
+        devices = jax.devices()
     assert len(devices) >= tp * dp, (
         f"Need {tp * dp} devices, have {len(devices)}"
     )
