@@ -204,6 +204,33 @@ def attention_prefill(
         q, k, v, valid, prompt_len, need_summary=need_summary
     )
 
+    cache = fill_from_kv(
+        strategy, compressor, cache, k, v, summary, input_pos, valid,
+        prompt_len, tokens=tokens,
+    )
+
+    y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
+    return linear(y, p["wo"]), cache
+
+
+def fill_from_kv(
+    strategy,
+    compressor,
+    cache: CacheState,
+    k: jax.Array,  # [B, KVH, P, hd] full-sequence keys
+    v: jax.Array,
+    summary,  # AttnSummary | None (per-key means)
+    input_pos: jax.Array,  # [P] global positions
+    valid: jax.Array,  # bool [B, P]
+    prompt_len: jax.Array,
+    tokens: Optional[jax.Array] = None,
+) -> CacheState:
+    """Prompt compression + cache fill from precomputed K/V and attention
+    summaries. Shared by the single-device prefill (above) and the
+    sequence-parallel prefill (parallel/sp.py), where K/V are all-gathered
+    and summaries psum'ed before this (replicated) fill."""
+    spec = cache.spec
+    compress = spec.max_cache_length < k.shape[2]
     if compress and compressor.name != "full":
         keep_pos, k_c, v_c, keep_valid, kept_attn = compress_prompt(
             compressor, spec, input_pos, k, v, valid, prompt_len,
@@ -240,9 +267,7 @@ def attention_prefill(
             spec, cache, k, v, summary, input_pos, valid, prompt_len,
             tokens=tokens,
         )
-
-    y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)
-    return linear(y, p["wo"]), cache
+    return cache
 
 
 def attention_decode(

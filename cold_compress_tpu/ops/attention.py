@@ -137,16 +137,61 @@ def _chunked_prefill(
     Each query row's softmax is independent, so chunking is exact (no online
     rescaling needed — keys are not chunked).
     """
-    B, H, P, D = q.shape
+    y, cum, obs = chunked_prefill_partial(
+        q, k, v, prompt_len, need_summary=need_summary, obs_len=obs_len,
+        chunk_size=chunk_size,
+    )
+    if not need_summary:
+        return y, None
+    B = q.shape[0]
+    P = k.shape[2]
+    plen = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+    )
+    return y, finalize_summary(cum, obs, plen, P, obs_len)
+
+
+def finalize_summary(cum, obs, plen, P: int, obs_len: int):
+    """Turn raw per-key attention sums into the per-key means the cache
+    strategies consume. ``cum``/``obs`` are sums over (valid / last-obs_len)
+    query rows — additive across query shards, so a sequence-parallel
+    prefill psums the partials and calls this once (parallel/sp.py)."""
+    key_pos = jnp.arange(P)
+    obs_count = jnp.maximum(jnp.minimum(obs_len, plen), 1).astype(
+        jnp.float32
+    )  # [B]
+    denom = jnp.maximum(plen[:, None] - key_pos[None, :], 1).astype(
+        jnp.float32
+    )  # [B, P]
+    return {
+        "obs_mean": obs / obs_count[:, None, None],
+        "cum_mean": cum / denom[:, None, :],
+    }
+
+
+def chunked_prefill_partial(
+    q, k, v, prompt_len, q_offset=0, need_summary=False, obs_len=16,
+    chunk_size=256,
+):
+    """Chunked causal attention for a contiguous query block at global
+    position ``q_offset`` against the FULL key/value sequence.
+
+    Returns (y [B, H, Pq, D], cum [B, KVH, P], obs [B, KVH, P]) where
+    cum/obs are raw attention-mass sums over this block's valid queries —
+    the building block for both single-device streaming prefill and
+    sequence-parallel prefill (query blocks sharded over a mesh axis,
+    partial sums psum'ed)."""
+    B, H, Pq, D = q.shape
     KVH = k.shape[1]
+    P = k.shape[2]
     G = H // KVH
     scale = 1.0 / math.sqrt(D)
-    chunk = min(chunk_size, P)
-    n_chunks = -(-P // chunk)
+    chunk = min(chunk_size, Pq)
+    n_chunks = -(-Pq // chunk)
     Ppad = n_chunks * chunk
-    qg = q.reshape(B, KVH, G, P, D)
-    if Ppad != P:
-        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, 0), (0, Ppad - P), (0, 0)])
+    qg = q.reshape(B, KVH, G, Pq, D)
+    if Ppad != Pq:
+        qg = jnp.pad(qg, [(0, 0), (0, 0), (0, 0), (0, Ppad - Pq), (0, 0)])
     key_pos = jnp.arange(P)
     kf = k.astype(jnp.bfloat16)
     vf = v.astype(jnp.bfloat16)
@@ -158,7 +203,7 @@ def _chunked_prefill(
     def body(carry, ci):
         cum, obs = carry
         qc = jax.lax.dynamic_slice_in_dim(qg, ci * chunk, chunk, axis=3)
-        q_pos = ci * chunk + jnp.arange(chunk)
+        q_pos = q_offset + ci * chunk + jnp.arange(chunk)
         scores = (
             jnp.einsum(
                 "bkgld,bksd->bkgls",
@@ -194,23 +239,10 @@ def _chunked_prefill(
     (cum, obs), ys = jax.lax.scan(
         body, (zeros, zeros), jnp.arange(n_chunks)
     )
-    # ys: [n_chunks, B, KVH, G, chunk, D] -> [B, H, P, D]
-    y = jnp.moveaxis(ys, 0, 3).reshape(B, KVH, G, Ppad, D)[:, :, :, :P]
-    y = y.reshape(B, H, P, D).astype(q.dtype)
-
-    if not need_summary:
-        return y, None
-    obs_count = jnp.maximum(jnp.minimum(obs_len, plen), 1).astype(
-        jnp.float32
-    )  # [B]
-    denom = jnp.maximum(plen[:, None] - key_pos[None, :], 1).astype(
-        jnp.float32
-    )  # [B, P]
-    summary = {
-        "obs_mean": obs / obs_count[:, None, None],
-        "cum_mean": cum / denom[:, None, :],
-    }
-    return y, summary
+    # ys: [n_chunks, B, KVH, G, chunk, D] -> [B, H, Pq, D]
+    y = jnp.moveaxis(ys, 0, 3).reshape(B, KVH, G, Ppad, D)[:, :, :, :Pq]
+    y = y.reshape(B, H, Pq, D).astype(q.dtype)
+    return y, cum, obs
 
 
 def _maybe_flash(q, k, v):

@@ -1,0 +1,112 @@
+"""Sequence-parallel prefill vs the single-device prefill.
+
+SP shards query blocks over a virtual 8-device CPU mesh, all-gathers K/V,
+and psums the per-key summary partials (parallel/sp.py); the math is the
+same attention and the same fill, so logits, cache contents, and the
+tokens decoded afterwards must match the single-device path (up to f32
+summation order in the summaries).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cold_compress_tpu.caches import CacheSpec
+from cold_compress_tpu.models import transformer as T
+from cold_compress_tpu.models.config import ModelConfig
+from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_prefill, sp_supported
+
+
+def _setup(strategy, C, P_len, compressor="heavy_hitter"):
+    cfg = ModelConfig.from_name("TestTiny")
+    params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rope = T.make_rope_table(cfg)
+    specs = tuple(
+        CacheSpec(
+            cache_strategy=strategy,
+            max_cache_length=C,
+            max_seq_length=256,
+            global_tokens=4,
+            recent_window=8,
+            prompt_compression_strategy=compressor,
+        )
+        for _ in range(cfg.n_layer)
+    )
+    return cfg, params, rope, specs
+
+
+@pytest.mark.parametrize(
+    "strategy,C,compressor",
+    [
+        ("full", 128, "full"),
+        ("heavy_hitter", 64, "heavy_hitter"),
+        ("recent_global", 64, "recent_global"),
+    ],
+)
+def test_sp_prefill_matches_single_device(strategy, C, compressor):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, params, rope, specs = _setup(strategy, C, 128, compressor)
+    P_len = 128
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(
+        rng.randint(5, cfg.vocab_size - 5, size=(1, P_len)), jnp.int32
+    )
+    prompt_len = jnp.int32(P_len - 7)  # padded tail exercises valid masking
+
+    def fresh():
+        c = T.init_caches(cfg, specs, 1, jnp.float32)
+        return c
+
+    params_s = T.stack_layer_params(params)
+    ref_logits, ref_caches = T.prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len
+    )
+
+    mesh = make_sp_mesh(4)
+    assert sp_supported(fresh())
+    sp_logits, sp_caches = sp_prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len, mesh
+    )
+
+    # The single-device path takes a full-f32 square-causal branch at this
+    # size while SP uses the bf16 chunked kernel path — tolerances reflect
+    # precision-path differences, not math differences.
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), rtol=6e-3, atol=1.5e-3
+    )
+    # Cache contents: same kept positions and masks; K/V close.
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.pos), np.asarray(ref_caches.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.mask), np.asarray(ref_caches.mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_caches.k), np.asarray(ref_caches.k),
+        rtol=6e-3, atol=1.5e-3,
+    )
+
+    # Decode continuation from both caches must emit the same tokens.
+    def decode_n(caches, first, n=8):
+        toks = [int(first)]
+        tok = jnp.asarray([first], jnp.int32)
+        pos = prompt_len
+        for i in range(n):
+            logits, caches = T.decode_step(
+                cfg, params_s, rope, caches, tok, pos + i
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    first = int(np.argmax(np.asarray(ref_logits)[0]))
+    assert decode_n(ref_caches, first) == decode_n(sp_caches, first)
+
+
+def test_sp_rejects_nothing_but_hybrid():
+    cfg, params, rope, specs = _setup("heavy_hitter", 64, 128)
+    caches = T.init_caches(cfg, specs, 1, jnp.float32)
+    assert sp_supported(caches)
