@@ -71,6 +71,14 @@ def _prefill_jit(cfg, params, rope, caches, tokens, prompt_len):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), probs, caches
 
 
+@jax.jit
+def _logits_post_jit(logits):
+    """Greedy pick + probabilities from prefill logits (sp path — the
+    single-device path folds this into _prefill_jit)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), probs
+
+
 @partial(jax.jit, donate_argnames=("caches",))
 def _reset_jit(caches):
     from ..caches import reset_state
@@ -185,6 +193,7 @@ def generate(
     min_cache_length: Optional[int] = None,
     pad_id: int = 0,
     prefill_bucket: Optional[int] = None,
+    sp_mesh=None,
 ) -> Tuple[List[int], Dict[str, Any], Any]:
     """Generate greedily from a prompt; returns (sequence, info, caches).
 
@@ -255,13 +264,27 @@ def generate(
             f"Prompt ({prompt_length} tokens) exceeds the smallest "
             f"direct-fill cache length ({P})."
         )
+    if sp_mesh is not None:
+        # Sequence-parallel prefill shards query blocks over the mesh; the
+        # bucket must split evenly across devices.
+        sp = sp_mesh.shape["sp"]
+        P = -(-P // sp) * sp
     padded = prompt + [pad_id] * (P - prompt_length)
     tokens = jnp.asarray([padded], dtype=jnp.int32)
 
     t0 = time.perf_counter()
-    greedy_tok, prefill_probs, caches = _prefill_jit(
-        cfg, params, rope, caches, tokens, jnp.int32(prompt_length)
-    )
+    if sp_mesh is not None:
+        from ..parallel.sp import sp_prefill
+
+        logits, caches = sp_prefill(
+            cfg, params, rope, caches, tokens,
+            jnp.int32(prompt_length), sp_mesh,
+        )
+        greedy_tok, prefill_probs = _logits_post_jit(logits)
+    else:
+        greedy_tok, prefill_probs, caches = _prefill_jit(
+            cfg, params, rope, caches, tokens, jnp.int32(prompt_length)
+        )
     prefill_probs = np.asarray(jax.block_until_ready(prefill_probs))
     t1 = time.perf_counter()
 

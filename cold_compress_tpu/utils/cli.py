@@ -151,6 +151,15 @@ def add_generation_arguments(parser: argparse.ArgumentParser):
         help="Tensor-parallel degree over the device mesh.",
     )
     group.add_argument(
+        "--sp",
+        type=int,
+        default=1,
+        help="Sequence-parallel degree for prefill: prompt query blocks "
+        "shard over the mesh, K/V all-gather over ICI, summaries psum "
+        "(parallel/sp.py). Decode proceeds from replicated caches. "
+        "Mutually exclusive with --tp/--dp for now.",
+    )
+    group.add_argument(
         "--dp",
         type=int,
         default=1,

@@ -123,6 +123,18 @@ def main(args) -> None:
         mesh, params, caches = shard_model(cfg, params, caches, tp=args.tp)
         print(f"Tensor-parallel over {args.tp} devices: {mesh}")
 
+    sp_mesh = None
+    if getattr(args, "sp", 1) > 1:
+        assert args.tp == 1, "--sp composes with --tp in a later revision"
+        from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_supported
+
+        assert sp_supported(caches), (
+            "hybrid profiling needs full attention maps; --sp supports the "
+            "score/summary-based strategies"
+        )
+        sp_mesh = make_sp_mesh(args.sp)
+        print(f"Sequence-parallel prefill over {args.sp} devices")
+
     if args.profile:
         try:
             jax.profiler.start_trace(str(args.profile))
@@ -140,6 +152,7 @@ def main(args) -> None:
         terminator_ids=terminator_ids,
         attn_top_k=args.attn_top_k,
         feed_long_prompts=args.feed_long_prompts,
+        sp_mesh=sp_mesh,
     )
 
     if args.profile:

@@ -45,6 +45,14 @@ def test_tp_cli_matches_single_device():
     assert base == tp2
 
 
+def test_sp_cli_matches_single_device():
+    """--sp 4 shards the prefill query blocks; generation must match the
+    single-device run (same greedy tokens)."""
+    base = run_cli(["--sp", "1"])
+    sp4 = run_cli(["--sp", "4"])
+    assert base == sp4
+
+
 def test_stacked_param_and_cache_sharding():
     """Stacked (scan) layouts get layer-axis-prefixed specs and shard
     end-to-end numerically identically to unsharded execution."""
