@@ -195,6 +195,15 @@ def run_task(
         _, params, caches = shard_model(
             cfg, params, caches, tp=args.tp, dp=args.dp
         )
+    sp_mesh = None
+    if getattr(args, "sp", 1) > 1:
+        assert args.tp == 1 and args.dp == 1 and not use_batch, (
+            "--sp currently composes with single-lane, tp=dp=1 runs"
+        )
+        from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_supported
+
+        assert sp_supported(caches)
+        sp_mesh = make_sp_mesh(args.sp)
     mcl = min_cache_length(specs)
 
     # Pin one prefill bucket per task (the longest prompt's power-of-two
@@ -294,6 +303,7 @@ def run_task(
             decode_first_token=args.decode_first_token,
             min_cache_length=mcl,
             prefill_bucket=task_bucket,
+            sp_mesh=sp_mesh,
         )
         for k, v in info["perf_stats"].items():
             aggregate[k].append(v)
