@@ -107,6 +107,56 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
         o_ref[0, h] = o
 
 
+def _chunk_step(q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
+                acc_ref, m_ref, l_ref, h, *, scale, bits, need_attn):
+    """Process one head's KV chunk block, updating the running (acc, m, l)
+    scratch; returns (acc_new, l_new) for an optional finalize."""
+    q = q_ref[0, h]  # [8, D] bf16
+    meta = meta_ref[0, h]  # [8, CHUNK] f32
+    sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+
+    if bits == 16:
+        kf = kq_ref[0, h].astype(jnp.float32)  # [CHUNK, D]
+    else:
+        kf = _dequant(kq_ref[0, h], sk, zk, bits)
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [8, CHUNK]
+    live = msk[None, :] > 0.5
+    s = jnp.where(live, s, NEG_INF)
+
+    m_prev = m_ref[h, :, 0:1]  # [8, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    # Explicit mask multiply: a fully-masked chunk must contribute 0,
+    # not exp(NEG_INF - NEG_INF) = 1.
+    e = jnp.where(live, jnp.exp(s - m_new), 0.0)  # [8, CHUNK]
+    corr = jnp.exp(m_prev - m_new)  # [8, 1]
+    l_new = l_ref[h, :, 0:1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+
+    if bits == 16:
+        vf = vq_ref[0, h].astype(jnp.bfloat16)
+    else:
+        vf = _dequant(vq_ref[0, h], sv, zv, bits).astype(jnp.bfloat16)
+    pv = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [8, D]
+    acc_new = acc_ref[h] * corr + pv
+
+    acc_ref[h] = acc_new
+    m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+    l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+
+    if need_attn:
+        e_ref[0, h] = e
+        aux_ref[0, h] = jnp.concatenate(
+            [jnp.broadcast_to(m_new, (8, 64)),
+             jnp.broadcast_to(l_new, (8, 64))], axis=-1
+        )
+    return acc_new, l_new
+
+
 def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
                     acc_ref, m_ref, l_ref, *, KVH, G, scale, bits, need_attn,
                     n_chunks):
@@ -131,106 +181,168 @@ def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     for h in range(KVH):
-        q = q_ref[0, h]  # [8, D] bf16
-        meta = meta_ref[0, h]  # [8, CHUNK] f32
-        sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
-
-        if bits == 16:
-            kf = kq_ref[0, h].astype(jnp.float32)  # [CHUNK, D]
-        else:
-            kf = _dequant(kq_ref[0, h], sk, zk, bits)
-        s = jax.lax.dot_general(
-            q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [8, CHUNK]
-        live = msk[None, :] > 0.5
-        s = jnp.where(live, s, NEG_INF)
-
-        m_prev = m_ref[h, :, 0:1]  # [8, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        # Explicit mask multiply: a fully-masked chunk must contribute 0,
-        # not exp(NEG_INF - NEG_INF) = 1.
-        e = jnp.where(live, jnp.exp(s - m_new), 0.0)  # [8, CHUNK]
-        corr = jnp.exp(m_prev - m_new)  # [8, 1]
-        l_new = l_ref[h, :, 0:1] * corr + jnp.sum(e, axis=-1, keepdims=True)
-
-        if bits == 16:
-            vf = vq_ref[0, h].astype(jnp.bfloat16)
-        else:
-            vf = _dequant(vq_ref[0, h], sv, zv, bits).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [8, D]
-        acc_new = acc_ref[h] * corr + pv
-
-        acc_ref[h] = acc_new
-        m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
-        l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
-
-        if need_attn:
-            e_ref[0, h] = e
-            aux_ref[0, h] = jnp.concatenate(
-                [jnp.broadcast_to(m_new, (8, 64)),
-                 jnp.broadcast_to(l_new, (8, 64))], axis=-1
-            )
+        acc_new, l_new = _chunk_step(
+            q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
+            acc_ref, m_ref, l_ref, h,
+            scale=scale, bits=bits, need_attn=need_attn,
+        )
 
         @pl.when(nc == n_chunks - 1)
         def _finalize():
             o_ref[0, h] = acc_new / jnp.maximum(l_new, 1e-30)
 
 
+def _kernel_chunked_ms(q_ref, *refs, KVH, G, scale, bits, need_attn,
+                       n_chunks, streams):
+    """Multi-stream chunked kernel: ``streams`` (kq, vq, meta) triples feed
+    S chunk DMAs in flight per grid step; stream i owns chunk
+    nc + i * (NC/S). Online softmax is order-free, and each chunk's e-block
+    records ITS running max, so the wrapper's global correction is
+    unchanged. Outputs: o, then per-stream (e, aux)."""
+    S = streams
+    NCs = n_chunks // S
+    ins = refs[: 3 * S]
+    o_ref = refs[3 * S]
+    eaux = refs[3 * S + 1 : 3 * S + 1 + 2 * S]
+    acc_ref, m_ref, l_ref = refs[3 * S + 1 + 2 * S :]
+    nc = pl.program_id(1)
+
+    @pl.when(nc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    for h in range(KVH):
+        for i in range(S):
+            kq_ref, vq_ref, meta_ref = ins[3 * i : 3 * i + 3]
+            e_ref, aux_ref = eaux[2 * i : 2 * i + 2]
+            acc_new, l_new = _chunk_step(
+                q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
+                acc_ref, m_ref, l_ref, h,
+                scale=scale, bits=bits, need_attn=need_attn,
+            )
+
+        @pl.when(nc == NCs - 1)
+        def _finalize():
+            # The globally-last chunk (NC-1) belongs to the last stream at
+            # the last step, so (acc, l) here are the final values.
+            o_ref[0, h] = acc_new / jnp.maximum(l_new, 1e-30)
+
+
 def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
                   need_attn, chunk, interpret):
+    import os
+
     NC = C // chunk
     Dp = kq.shape[3]
-    kernel = functools.partial(
-        _kernel_chunked, KVH=KVH, G=G, scale=scale, bits=bits,
-        need_attn=need_attn, n_chunks=NC,
+    S = int(os.environ.get("CCT_ATTN_STREAMS", "1"))
+    S = S if (S > 1 and NC % S == 0) else 1
+    cost = pl.CostEstimate(
+        flops=4 * B * KVH * 8 * C * D,
+        bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
+        + B * KVH * C * 4 * 4,
+        transcendentals=B * KVH * 8 * C,
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
-        jax.ShapeDtypeStruct((B, KVH, 8, C), jnp.float32),
-        jax.ShapeDtypeStruct((B, KVH, 8, NC * 128), jnp.float32),
+    q_spec = pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((KVH, 8, D), jnp.float32),
+        pltpu.VMEM((KVH, 8, 128), jnp.float32),
+        pltpu.VMEM((KVH, 8, 128), jnp.float32),
     ]
-    kv_spec = pl.BlockSpec((1, KVH, chunk, Dp), lambda b, c: (b, 0, c, 0),
-                           memory_space=pltpu.VMEM)
-    y, e_out, aux = pl.pallas_call(
-        kernel,
-        grid=(B, NC),
-        in_specs=[
-            pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            kv_spec,
-            kv_spec,
-            pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH, 8, 128), lambda b, c: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((KVH, 8, D), jnp.float32),
-            pltpu.VMEM((KVH, 8, 128), jnp.float32),
-            pltpu.VMEM((KVH, 8, 128), jnp.float32),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * KVH * 8 * C * D,
-            bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
-            + B * KVH * C * 4 * 4,
-            transcendentals=B * KVH * 8 * C,
-        ),
-    )(qf, kq, vq, meta)
 
-    if not need_attn:
-        return y, None
+    if S > 1:
+        NCs = NC // S
+        kernel = functools.partial(
+            _kernel_chunked_ms, KVH=KVH, G=G, scale=scale, bits=bits,
+            need_attn=need_attn, n_chunks=NC, streams=S,
+        )
+        in_specs = [q_spec]
+        operands = []
+        for i in range(S):
+            off = i * NCs
+            kv_spec = pl.BlockSpec(
+                (1, KVH, chunk, Dp),
+                lambda b, c, off=off: (b, 0, c + off, 0),
+                memory_space=pltpu.VMEM,
+            )
+            m_spec = pl.BlockSpec(
+                (1, KVH, 8, chunk),
+                lambda b, c, off=off: (b, 0, 0, c + off),
+                memory_space=pltpu.VMEM,
+            )
+            in_specs += [kv_spec, kv_spec, m_spec]
+            operands += [kq, vq, meta]
+        out_specs = [o_spec]
+        out_shapes = [jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32)]
+        for i in range(S):
+            out_specs += [
+                pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, KVH, 8, 128), lambda b, c: (b, 0, 0, c),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shapes += [
+                jax.ShapeDtypeStruct((B, KVH, 8, NCs * chunk), jnp.float32),
+                jax.ShapeDtypeStruct((B, KVH, 8, NCs * 128), jnp.float32),
+            ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, NCs),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qf, *operands)
+        y = outs[0]
+        if not need_attn:
+            return y, None
+        # Streams cover contiguous chunk ranges in order: concat then the
+        # same global correction as the single-stream path.
+        e_out = jnp.concatenate(outs[1::2], axis=-1)
+        aux = jnp.concatenate(outs[2::2], axis=-1)
+    else:
+        kernel = functools.partial(
+            _kernel_chunked, KVH=KVH, G=G, scale=scale, bits=bits,
+            need_attn=need_attn, n_chunks=NC,
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH, 8, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH, 8, NC * 128), jnp.float32),
+        ]
+        kv_spec = pl.BlockSpec((1, KVH, chunk, Dp), lambda b, c: (b, 0, c, 0),
+                               memory_space=pltpu.VMEM)
+        y, e_out, aux = pl.pallas_call(
+            kernel,
+            grid=(B, NC),
+            in_specs=[
+                q_spec,
+                kv_spec,
+                kv_spec,
+                pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                o_spec,
+                pl.BlockSpec((1, KVH, 8, chunk), lambda b, c: (b, 0, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, KVH, 8, 128), lambda b, c: (b, 0, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qf, kq, vq, meta)
+
+        if not need_attn:
+            return y, None
     # Global softmax correction: chunk c's e-block was scaled by its own
     # running max; the final (m, l) live in the last chunk's aux block.
     aux = aux.reshape(B, KVH, 8, NC, 128)

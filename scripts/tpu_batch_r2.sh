@@ -33,5 +33,6 @@ run bench_evict  env CCT_FUSED_EVICT=1 CCT_TILED_HEAD=1 python -u bench.py --hea
 run bench_s2     env CCT_QMM_STREAMS=2 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
 run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
 run bench_full   python -u bench.py --strategy full   # 48 tok/s anomaly recheck
+run bench_as2    env CCT_ATTN_STREAMS=2 CCT_QMM_STREAMS=2 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
 
 echo "ALL DONE" | tee -a /tmp/r2batch/summary.log

@@ -175,3 +175,56 @@ def test_chunked_matches_one_shot(bits, need_attn):
         assert np.all(attn[..., filled:] == 0.0)
     else:
         assert attn is None
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+@pytest.mark.parametrize("need_attn", [True, False])
+def test_multistream_chunked_matches_single(bits, need_attn, monkeypatch):
+    """CCT_ATTN_STREAMS=2 splits the chunk range over two operand
+    pipelines; online softmax is order-free, so outputs and pooled
+    probabilities must match the single-stream chunked kernel."""
+    import os
+
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    B, KVH, D, G = 1, 2, 128, 4
+    C = 4 * da._DECODE_CHUNK
+    H = KVH * G
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    filled = 3 * da._DECODE_CHUNK + 17
+
+    if bits == 16:
+        kv = np.random.RandomState(6).randn(2, B, KVH, C, D)
+        k = jnp.asarray(kv[0], jnp.bfloat16)
+        v = jnp.asarray(kv[1], jnp.bfloat16)
+        mask = jnp.broadcast_to(
+            jnp.asarray(np.arange(C) < filled), (B, KVH, C)
+        )
+        args = (q, k, v, None, None, None, None, mask)
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=filled)
+        args = (
+            q, state.k, state.v, state.k_scales, state.k_zeros,
+            state.v_scales, state.v_zeros, state.mask,
+        )
+
+    kw = dict(bits=bits, need_attn=need_attn, interpret=True, chunked=True)
+    ref_out, ref_attn = quantized_decode_attention(*args, **kw)
+    monkeypatch.setenv("CCT_ATTN_STREAMS", "2")
+    quantized_decode_attention.clear_cache()
+    out, attn = quantized_decode_attention(*args, **kw)
+    quantized_decode_attention.clear_cache()
+    # Processing order differs (stream i starts at chunk i*NC/S), so the
+    # online-softmax rescales accumulate in a different order: bf16-level
+    # divergence only.
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-3, rtol=2e-2,
+    )
+    if need_attn:
+        np.testing.assert_allclose(
+            np.asarray(attn), np.asarray(ref_attn), atol=1e-6, rtol=1e-4
+        )
