@@ -110,3 +110,66 @@ def test_sp_rejects_nothing_but_hybrid():
     cfg, params, rope, specs = _setup("heavy_hitter", 64, 128)
     caches = T.init_caches(cfg, specs, 1, jnp.float32)
     assert sp_supported(caches)
+
+
+@pytest.mark.parametrize(
+    "strategy,C,compressor",
+    [
+        ("heavy_hitter", 64, "heavy_hitter"),
+        ("full", 128, "full"),
+    ],
+)
+def test_sp_tp_prefill_matches_single_device(strategy, C, compressor):
+    """2-D (sp=4, tp=2) prefill: query blocks sharded over sp, heads/FFN
+    over tp; logits and head-sharded caches must reassemble to the
+    single-device result, and decode continuations must match."""
+    from cold_compress_tpu.parallel.sp import make_sp_tp_mesh, sp_tp_prefill
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, params, rope, specs = _setup(strategy, C, 128, compressor)
+    P_len = 128
+    rng = np.random.RandomState(1)
+    tokens = jnp.asarray(
+        rng.randint(5, cfg.vocab_size - 5, size=(1, P_len)), jnp.int32
+    )
+    prompt_len = jnp.int32(P_len - 5)
+
+    params_s = T.stack_layer_params(params)
+
+    def fresh():
+        return T.init_caches(cfg, specs, 1, jnp.float32)
+
+    ref_logits, ref_caches = T.prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len
+    )
+
+    mesh = make_sp_tp_mesh(4, 2)
+    sp_logits, sp_caches = sp_tp_prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), rtol=6e-3, atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.pos), np.asarray(ref_caches.pos)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_caches.k), np.asarray(ref_caches.k),
+        rtol=6e-3, atol=2e-3,
+    )
+
+    # Greedy continuation must match (caches feed the plain decode path).
+    def decode_n(caches, first, n=6):
+        toks = [int(first)]
+        tok = jnp.asarray([first], jnp.int32)
+        for i in range(n):
+            logits, caches = T.decode_step(
+                cfg, params_s, rope, caches, tok, prompt_len + i
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    first = int(np.argmax(np.asarray(ref_logits)[0]))
+    assert decode_n(ref_caches, first) == decode_n(sp_caches, first)
