@@ -173,3 +173,63 @@ def test_sp_tp_prefill_matches_single_device(strategy, C, compressor):
 
     first = int(np.argmax(np.asarray(ref_logits)[0]))
     assert decode_n(ref_caches, first) == decode_n(sp_caches, first)
+
+
+@pytest.mark.parametrize(
+    "strategy,C,compressor",
+    [
+        ("heavy_hitter", 64, "heavy_hitter"),
+        ("full", 128, "full"),
+    ],
+)
+def test_pp_prefill_matches_single_device(strategy, C, compressor):
+    """Pipeline-parallel prefill (2 stages, sequence-chunk microbatches)
+    must reproduce the single-device prefill: logits, kept cache slots,
+    and greedy continuations."""
+    from cold_compress_tpu.parallel.pp import make_pp_mesh, pp_prefill
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg, params, rope, specs = _setup(strategy, C, 128, compressor)
+    P_len = 128
+    rng = np.random.RandomState(2)
+    tokens = jnp.asarray(
+        rng.randint(5, cfg.vocab_size - 5, size=(1, P_len)), jnp.int32
+    )
+    prompt_len = jnp.int32(P_len - 9)
+    params_s = T.stack_layer_params(params)
+
+    def fresh():
+        return T.init_caches(cfg, specs, 1, jnp.float32)
+
+    ref_logits, ref_caches = T.prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len
+    )
+    mesh = make_pp_mesh(2)  # 2 layers -> 1 per stage
+    pp_logits, pp_caches = pp_prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len, mesh, chunk=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp_logits), np.asarray(ref_logits), rtol=6e-3, atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pp_caches.pos), np.asarray(ref_caches.pos)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp_caches.k), np.asarray(ref_caches.k),
+        rtol=6e-3, atol=2e-3,
+    )
+
+    def decode_n(caches, first, n=6):
+        toks = [int(first)]
+        tok = jnp.asarray([first], jnp.int32)
+        for i in range(n):
+            logits, caches = T.decode_step(
+                cfg, params_s, rope, caches, tok, prompt_len + i
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    first = int(np.argmax(np.asarray(ref_logits)[0]))
+    assert decode_n(ref_caches, first) == decode_n(pp_caches, first)
