@@ -194,6 +194,7 @@ def generate(
     pad_id: int = 0,
     prefill_bucket: Optional[int] = None,
     sp_mesh=None,
+    pp_mesh=None,
 ) -> Tuple[List[int], Dict[str, Any], Any]:
     """Generate greedily from a prompt; returns (sequence, info, caches).
 
@@ -273,7 +274,16 @@ def generate(
     tokens = jnp.asarray([padded], dtype=jnp.int32)
 
     t0 = time.perf_counter()
-    if sp_mesh is not None:
+    if pp_mesh is not None:
+        from ..parallel.pp import pp_prefill
+
+        logits, caches = pp_prefill(
+            cfg, params, rope, caches, tokens,
+            jnp.int32(prompt_length), pp_mesh,
+            chunk=min(64, P),
+        )
+        greedy_tok, prefill_probs = _logits_post_jit(logits)
+    elif sp_mesh is not None:
         from ..parallel.sp import sp_prefill
 
         logits, caches = sp_prefill(

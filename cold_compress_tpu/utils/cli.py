@@ -151,6 +151,14 @@ def add_generation_arguments(parser: argparse.ArgumentParser):
         help="Tensor-parallel degree over the device mesh.",
     )
     group.add_argument(
+        "--pp",
+        type=int,
+        default=1,
+        help="Pipeline-parallel degree for prefill: layer stages over the "
+        "mesh, prompt streamed as causal sequence-chunk microbatches "
+        "(parallel/pp.py). Needs homogeneous per-layer cache specs.",
+    )
+    group.add_argument(
         "--sp",
         type=int,
         default=1,

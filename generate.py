@@ -123,6 +123,17 @@ def main(args) -> None:
         mesh, params, caches = shard_model(cfg, params, caches, tp=args.tp)
         print(f"Tensor-parallel over {args.tp} devices: {mesh}")
 
+    pp_mesh = None
+    if getattr(args, "pp", 1) > 1:
+        assert args.tp == 1 and getattr(args, "sp", 1) == 1
+        from cold_compress_tpu.parallel.pp import make_pp_mesh
+
+        assert T.is_stacked(caches), (
+            "--pp needs homogeneous per-layer cache specs (stacked layout)"
+        )
+        pp_mesh = make_pp_mesh(args.pp)
+        print(f"Pipeline-parallel prefill over {args.pp} stages")
+
     sp_mesh = None
     if getattr(args, "sp", 1) > 1:
         assert args.tp == 1, "--sp composes with --tp in a later revision"
@@ -153,6 +164,7 @@ def main(args) -> None:
         attn_top_k=args.attn_top_k,
         feed_long_prompts=args.feed_long_prompts,
         sp_mesh=sp_mesh,
+        pp_mesh=pp_mesh,
     )
 
     if args.profile:

@@ -106,3 +106,11 @@ def test_stacked_param_and_cache_sharding():
             cfg, sp, rope, sc, prompt, 8, prefill_bucket=64
         )
     assert got_seq == ref_seq
+
+
+def test_pp_cli_matches_single_device():
+    """--pp 2 pipelines the prefill over layer stages; generation must
+    match the single-device run."""
+    base = run_cli([])
+    pp2 = run_cli(["--pp", "2"])
+    assert base == pp2
