@@ -35,4 +35,11 @@ run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 CCT_TILED_HEAD=1 pyth
 run bench_full   python -u bench.py --strategy full   # 48 tok/s anomaly recheck
 run bench_as2    env CCT_ATTN_STREAMS=2 CCT_QMM_STREAMS=2 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
 
+# 4. Scaling evidence: batch aggregate + long-context (Llama-3.1 ropes)
+run bench_b4     python -u bench.py --batch 4
+run bench_b8     python -u bench.py --batch 8
+run bench_16k    python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384
+run bench_32k    python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768
+run bench_full16k python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full
+
 echo "ALL DONE" | tee -a /tmp/r2batch/summary.log
