@@ -293,13 +293,33 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         from .pallas_qmm import (
             qmm_w4a8,
             qmm_w4a8_cp_stacked,
+            qmm_w4a8_prefill,
             qmm_w4a8_stacked,
             qmm_w8a8_tiled,
             w4a8_cp_supported,
             w4a8_cpt_supported,
+            w4a8_prefill_supported,
             w4a8_supported,
             w8a8_tiled_supported,
         )
+
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "colpack"
+            and w4a8_prefill_supported(x2.shape, w_leaf)
+        ):
+            w_, s_, z_ = w_leaf.w, w_leaf.scales, w_leaf.zeros
+            idx = w_leaf.idx
+            if idx is None:
+                w_, s_, z_ = w_[None], s_[None], z_[None]
+                idx = 0
+            y = qmm_w4a8_prefill(
+                x2, w_, s_, z_, idx, group_size=w_leaf.group_size
+            )
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
 
         if (
             w_leaf.kind == "int8"

@@ -501,6 +501,142 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
 
 
 # --------------------------------------------------------------------------
+# W4A8 prefill matmul (large-M tiles on the int8 MXU)
+# --------------------------------------------------------------------------
+#
+# Prefill currently dequantizes each layer's int4 weights to transient bf16
+# and runs bf16 dots (ops/linear.py fallback): ~0.4 s of VPU unpacking plus
+# bf16-rate MXU time per 8k prefill. This kernel runs prefill-sized
+# activations (per-row dynamic int8, the decode kernels' scheme) straight
+# against the column-packed bytes: per group, two int8 dots (d1 = x.b,
+# d2 = x.(b&0xF)) recover both nibble planes at the MXU's double int8
+# rate, with the group scales applied in a f32 epilogue. At M >= 256 the
+# systolic array is full, so no block-diagonal trick is needed — the grid
+# tiles (M, OUT) and weight blocks are revisited across M steps without
+# refetch (the index map ignores m).
+
+
+def _w4a8_pf_kernel(idx_ref, xq_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
+                    group_size, n_groups, tiled):
+    gs, ngf = group_size, n_groups
+    TOh = w_ref.shape[-1]
+    TM = xq_ref.shape[0]
+    acc_lo = jnp.zeros((TM, TOh), jnp.float32)
+    acc_hi = jnp.zeros((TM, TOh), jnp.float32)
+    for g in range(ngf):
+        xg = xq_ref[:, pl.ds(g * gs, gs)]
+        if tiled:
+            b = w_ref[0, 0, pl.ds(g * gs, gs), :]
+        else:
+            b = w_ref[0, pl.ds(g * gs, gs), :]
+        lo = b & 0xF
+        d1 = jnp.dot(xg, b, preferred_element_type=jnp.int32)
+        d2 = jnp.dot(xg, lo, preferred_element_type=jnp.int32)
+        s_lo = s_ref[0, 0, g, :].astype(jnp.float32)  # [TOh]
+        s_hi = s_ref[0, 1, g, :].astype(jnp.float32)
+        acc_lo += d2.astype(jnp.float32) * s_lo[None, :]
+        acc_hi += (d1 - d2).astype(jnp.float32) * (
+            s_hi * 0.0625
+        )[None, :]
+    s_all = s_ref[0].astype(jnp.float32)
+    z_all = z_ref[0].astype(jnp.float32)
+    xs = xs_ref[...]  # [TM, ngf] group row-sums
+    o_ref[0] = acc_lo + jnp.dot(xs, z_all[0] - 8.0 * s_all[0])
+    o_ref[1] = acc_hi + jnp.dot(xs, z_all[1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "tile_m")
+)
+def qmm_w4a8_prefill(x, w_stack, s_stack, z_stack, layer_idx,
+                     group_size: int = 128, interpret: bool = False,
+                     tile_m: int = 256):
+    """Prefill-sized x [L, IN] @ layer ``layer_idx`` of colpack int4 stacks
+    (flat [NL, IN, OUTh] or tiled [NL, T, IN, TOh]); returns [L, OUT] f32.
+    Per-row dynamic int8 activations (W4A8)."""
+    true_L = x.shape[0]
+    x, _ = _pad_rows(x, tile_m)
+    L, IN = x.shape
+    tiled = w_stack.ndim == 4
+    if tiled:
+        NL, n_tiles, _, TOh = w_stack.shape
+        OUTh = n_tiles * TOh
+    else:
+        NL, _, OUTh = w_stack.shape
+        TOh = _pick_tile_out_cp(IN, OUTh)
+    gs = group_size
+    ngf = IN // gs
+
+    xq, sx = _quantize_rows(x)
+    xs = jnp.sum(xq.reshape(L, ngf, gs).astype(jnp.float32), axis=-1)
+
+    kernel = functools.partial(
+        _w4a8_pf_kernel, group_size=gs, n_groups=ngf, tiled=tiled,
+    )
+    w_spec = (
+        pl.BlockSpec((1, 1, IN, TOh), lambda j, m, idx: (idx[0], j, 0, 0))
+        if tiled
+        else pl.BlockSpec((1, IN, TOh), lambda j, m, idx: (idx[0], 0, j))
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # j outer so consecutive m steps reuse the fetched weight block.
+        grid=(OUTh // TOh, L // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_m, IN), lambda j, m, idx: (m, 0)),
+            pl.BlockSpec((tile_m, ngf), lambda j, m, idx: (m, 0)),
+            w_spec,
+            pl.BlockSpec(
+                (1, 2, ngf, TOh), lambda j, m, idx: (idx[0], 0, 0, j)
+            ),
+            pl.BlockSpec(
+                (1, 2, ngf, TOh), lambda j, m, idx: (idx[0], 0, 0, j)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, tile_m, TOh), lambda j, m, idx: (0, m, j)
+        ),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * L * IN * OUTh,
+            bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray([layer_idx], jnp.int32),
+        xq, xs, w_stack, s_stack, z_stack,
+    )
+    y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+    return (y * sx)[:true_L]
+
+
+def w4a8_prefill_supported(x_2d_shape, w_leaf) -> bool:
+    """Gate for the prefill W4A8 kernel: opt-in via CCT_PREFILL_W4A8=1
+    (activation int8 quantization is a numerics change vs the bf16
+    dequant path; validate task metrics before defaulting)."""
+    if os.environ.get("CCT_PREFILL_W4A8", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    L, IN = x_2d_shape
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and w_leaf.layout == "colpack"
+        and L > 32
+        and IN % 256 == 0
+        and IN % gs == 0
+        and w_leaf.w.shape[-1] % 128 == 0
+    )
+
+
+# --------------------------------------------------------------------------
 # W8A8 tiled matvec (the 128k-vocab head)
 # --------------------------------------------------------------------------
 #

@@ -35,6 +35,9 @@ run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 CCT_TILED_HEAD=1 pyth
 run bench_full   python -u bench.py --strategy full   # 48 tok/s anomaly recheck
 run bench_as2    env CCT_ATTN_STREAMS=2 CCT_QMM_STREAMS=2 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
 
+# 3b. Prefill W4A8 kernel (opt-in numerics change: int8 activations)
+run bench_pf48   env CCT_PREFILL_W4A8=1 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
+
 # 4. Scaling evidence: batch aggregate + long-context (Llama-3.1 ropes)
 run bench_b4     python -u bench.py --batch 4
 run bench_b8     python -u bench.py --batch 8

@@ -122,3 +122,30 @@ def test_colpack_layer_params_generation_equivalence():
     ]
     assert kinds and all(k == "colpack" for k in kinds)
     assert run(fused) == run(cp)
+
+
+@pytest.mark.parametrize("L", [256, 300])
+def test_qmm_prefill_matches_dequant(L):
+    """Prefill W4A8 kernel (large-M tiles, per-group dual dots) vs
+    dequantize + matmul, including a non-tile-multiple row count."""
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_prefill
+
+    rng = np.random.RandomState(9)
+    IN, OUT, NL = 512, 512, 2
+    leaves = [_leaf(rng, IN, OUT) for _ in range(NL)]
+    cps = [to_colpack(lf) for lf in leaves]
+    w = jnp.stack([c.w for c in cps])
+    s = jnp.stack([c.scales for c in cps])
+    z = jnp.stack([c.zeros for c in cps])
+    x = jnp.asarray(rng.randn(L, IN).astype(np.float32) * 0.3)
+    for i, leaf in enumerate(leaves):
+        ref = np.asarray(x @ dequantize_weight(leaf, jnp.float32))
+        got = np.asarray(
+            qmm_w4a8_prefill(
+                x, w, s, z, jnp.int32(i), interpret=True, tile_m=128
+            )
+        )
+        denom = np.abs(ref).max() + 1e-9
+        # W4A8: activation int8 quantization adds ~1/255 per-row error on
+        # top of the int4 weight error the reference comparison carries.
+        assert np.abs(got - ref).max() / denom < 0.03, f"layer {i}"
