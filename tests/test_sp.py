@@ -233,3 +233,36 @@ def test_pp_prefill_matches_single_device(strategy, C, compressor):
 
     first = int(np.argmax(np.asarray(ref_logits)[0]))
     assert decode_n(ref_caches, first) == decode_n(pp_caches, first)
+
+
+def test_sp_prefill_quantized_weights():
+    """sp_prefill with int4-quantized params: QuantizedWeight leaves ride
+    shard_map replicated specs; generation matches single-device."""
+    from cold_compress_tpu.quantization.weight_quant import quantize_params
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, params, rope, specs = _setup("heavy_hitter", 64, 128)
+    q4 = T.stack_layer_params(
+        quantize_params(params, mode="int4", group_size=32)
+    )
+    tokens = jnp.asarray(
+        np.random.RandomState(4).randint(5, 500, size=(1, 128)), jnp.int32
+    )
+    plen = jnp.int32(120)
+
+    def fresh():
+        return T.init_caches(cfg, specs, 1, jnp.float32)
+
+    ref_logits, ref_caches = T.prefill(cfg, q4, rope, fresh(), tokens, plen)
+    from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_prefill
+
+    sp_logits, sp_caches = sp_prefill(
+        cfg, q4, rope, fresh(), tokens, plen, make_sp_mesh(4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), rtol=6e-3, atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.pos), np.asarray(ref_caches.pos)
+    )
