@@ -195,6 +195,13 @@ def run_task(
         _, params, caches = shard_model(
             cfg, params, caches, tp=args.tp, dp=args.dp
         )
+    pp_mesh = None
+    if getattr(args, "pp", 1) > 1:
+        assert args.tp == 1 and args.dp == 1 and not use_batch
+        from cold_compress_tpu.parallel.pp import make_pp_mesh
+
+        assert T.is_stacked(caches), "--pp needs homogeneous cache specs"
+        pp_mesh = make_pp_mesh(args.pp)
     sp_mesh = None
     if getattr(args, "sp", 1) > 1:
         assert args.tp == 1 and args.dp == 1 and not use_batch, (
@@ -304,6 +311,7 @@ def run_task(
             min_cache_length=mcl,
             prefill_bucket=task_bucket,
             sp_mesh=sp_mesh,
+            pp_mesh=pp_mesh,
         )
         for k, v in info["perf_stats"].items():
             aggregate[k].append(v)
