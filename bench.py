@@ -204,7 +204,46 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _backend_alive(timeout_s: int = 600) -> bool:
+    """The axon tunnel can wedge at CLAIM time: backend init then blocks
+    forever in a grant-retry loop (no exception). Probe it in a daemon
+    thread so a wedged tunnel produces a diagnosable line instead of an
+    indefinitely hung benchmark."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 if __name__ == "__main__":
+    if "--smoke" in sys.argv:  # CPU-forced inside main(); no tunnel probe
+        pass
+    elif not _backend_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_toks_per_sec",
+                    "value": 0.0,
+                    "unit": "tok/s",
+                    "vs_baseline": 0.0,
+                    "error": "backend unavailable: axon tunnel never "
+                    "granted the chip within 600s (wedged claim; see "
+                    "PERF.md / repo memory)",
+                }
+            )
+        )
+        sys.exit(3)
     # The TPU tunnel occasionally throws transient ResourceExhausted /
     # kernel-fault errors; one retry protects the recorded benchmark.
     try:
