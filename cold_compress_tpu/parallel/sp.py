@@ -29,7 +29,7 @@ and is not supported under SP; every score/summary-based strategy is.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
