@@ -66,6 +66,8 @@ class HeavyHitterCache(CacheStrategy):
             ipos = jnp.broadcast_to(
                 jnp.asarray(input_pos).reshape(B, -1)[:, 0], (B,)
             )
+            from ..ops.pallas_qmm import force_interpret
+
             idx, num2, denom2 = fused_hh_evict(
                 state.extra["attn_num"],
                 state.extra["attn_denom"],
@@ -73,6 +75,7 @@ class HeavyHitterCache(CacheStrategy):
                 ipos,
                 global_tokens=int(spec.global_tokens),
                 recent_window=int(spec.recent_window),
+                interpret=force_interpret(),
             )
             new_extra = dict(state.extra)
             new_extra["attn_num"] = num2

@@ -216,6 +216,21 @@ MODEL_CONFIGS = {
         rope_base=100000.0,
         max_length=32768,
     ),
+    "TestKernel": dict(
+        # Smallest dims satisfying every Pallas-kernel alignment gate
+        # (dim % 256, head_dim % 128, OUT % 128, prefill bucket % 512):
+        # drives the hardware kernel paths end-to-end on CPU in interpret
+        # mode (tests/test_gates_e2e.py, CCT_PALLAS_INTERPRET=1).
+        block_size=512,
+        n_layer=2,
+        n_head=2,
+        n_kv_head=1,
+        dim=256,
+        intermediate_size=512,
+        vocab_size=512,
+        rope_base=10000.0,
+        max_length=512,
+    ),
     "TestTinyMQA": dict(
         block_size=128,
         n_layer=3,

@@ -308,10 +308,13 @@ def attention_decode(
         # decode_update's unused materialized k_cache/v_cache), and bf16
         # caches stream at HBM speed instead of XLA's ~240 GB/s einsum.
         # (ops/pallas_decode_attn.py)
+        from ..ops.pallas_qmm import force_interpret
+
         y, attn = quantized_decode_attention(
             q, cache.k, cache.v, cache.k_scales, cache.k_zeros,
             cache.v_scales, cache.v_zeros, cache.mask,
             bits=spec.cache_bits or 16, need_attn=need_attn,
+            interpret=force_interpret(),
         )
     else:
         kv_mask = mask[:, :, None, None, :]  # [B, KVH, G=1, L=1, C]

@@ -113,8 +113,11 @@ def prefill_attention(
     if flash_prefill_supported(q.shape):
         # Fused flash(+summaries) kernel: probabilities never leave VMEM and
         # repeated GQA heads are never materialized (ops/pallas_prefill.py).
+        from .pallas_qmm import force_interpret
+
         return flash_prefill(
-            q, k, v, prompt_len, need_summary=need_summary, obs_len=obs_len
+            q, k, v, prompt_len, need_summary=need_summary, obs_len=obs_len,
+            interpret=force_interpret(),
         )
     if not need_summary:
         flash = _maybe_flash(q, k, v)

@@ -291,6 +291,7 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
         from .pallas_qmm import (
+            force_interpret,
             qmm_w4a8,
             qmm_w4a8_cp_stacked,
             qmm_w4a8_prefill,
@@ -303,6 +304,9 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             w8a8_tiled_supported,
         )
 
+        # CPU wiring tests run the same kernels in interpret mode.
+        interp = force_interpret()
+
         if (
             w_leaf.kind == "int4"
             and w_leaf.layout == "colpack"
@@ -314,7 +318,8 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
                 w_, s_, z_ = w_[None], s_[None], z_[None]
                 idx = 0
             y = qmm_w4a8_prefill(
-                x2, w_, s_, z_, idx, group_size=w_leaf.group_size
+                x2, w_, s_, z_, idx, group_size=w_leaf.group_size,
+                interpret=interp,
             )
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
@@ -326,7 +331,7 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             and w_leaf.layout == "tiled8"
             and w8a8_tiled_supported(x2.shape, w_leaf)
         ):
-            y = qmm_w8a8_tiled(x2, w_leaf.w, w_leaf.scales)
+            y = qmm_w8a8_tiled(x2, w_leaf.w, w_leaf.scales, interpret=interp)
             y = y[:, : w_leaf.out_true]
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
@@ -342,6 +347,7 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             y = qmm_w4a8_cp_stacked(
                 x2, w_leaf.w[None], w_leaf.scales[None],
                 w_leaf.zeros[None], 0, group_size=w_leaf.group_size,
+                interpret=interp,
             )
             y = y[:, : w_leaf.out_true]
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
@@ -359,7 +365,8 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
                 w_, s_, z_ = w_[None], s_[None], z_[None]
                 idx = 0
             y = qmm_w4a8_cp_stacked(
-                x2, w_, s_, z_, idx, group_size=w_leaf.group_size
+                x2, w_, s_, z_, idx, group_size=w_leaf.group_size,
+                interpret=interp,
             )
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
@@ -373,12 +380,12 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             if w_leaf.idx is not None:  # stacked: layer indexed in-kernel
                 y = qmm_w4a8_stacked(
                     x2, w_leaf.w, w_leaf.scales, w_leaf.zeros, w_leaf.idx,
-                    group_size=w_leaf.group_size,
+                    group_size=w_leaf.group_size, interpret=interp,
                 )
             else:
                 y = qmm_w4a8(
                     x2, w_leaf.w, w_leaf.scales, w_leaf.zeros,
-                    group_size=w_leaf.group_size,
+                    group_size=w_leaf.group_size, interpret=interp,
                 )
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
@@ -394,7 +401,7 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         if (
             w_leaf.kind == "int8"
             and w_leaf.layout != "tiled8"
-            and on_tpu
+            and (on_tpu or interp)
             and x2.shape[0] <= 32
         ):
             y = w8a8_matmul(x2, w_leaf)

@@ -474,7 +474,9 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     """Gate: real TPU, lane-aligned cache length / head dim, supported
     packing, single-token decode, and K+V blocks within the one-shot VMEM
     budget."""
-    if jax.default_backend() != "tpu":
+    from .pallas_qmm import backend_ok
+
+    if not backend_ok():
         return False
     B, H, L, D = q_shape
     bits = spec.cache_bits if spec.cache_bits is not None else 16

@@ -108,7 +108,9 @@ def fused_evict_supported(spec, state) -> bool:
 
     if os.environ.get("CCT_FUSED_EVICT", "0") != "1":
         return False
-    if jax.default_backend() != "tpu":
+    from .pallas_qmm import backend_ok
+
+    if not backend_ok():
         return False
     C = state.pos.shape[-1]
     return (

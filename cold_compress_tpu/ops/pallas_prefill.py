@@ -229,7 +229,9 @@ def flash_prefill(
 
 def flash_prefill_supported(q_shape, need_summary: bool = True) -> bool:
     """Gate: real TPU, MXU-aligned head dim, block-divisible padded length."""
-    if jax.default_backend() != "tpu":
+    from .pallas_qmm import backend_ok
+
+    if not backend_ok():
         return False
     B, H, P, D = q_shape
     return D % 128 == 0 and P % 512 == 0 and P >= 512

@@ -53,6 +53,21 @@ _TILE_ENV = int(os.environ.get("CCT_QMM_TILE", "0"))
 _STREAMS = int(os.environ.get("CCT_QMM_STREAMS", "1"))
 
 
+def force_interpret() -> bool:
+    """CCT_PALLAS_INTERPRET=1: every Pallas routing gate accepts non-TPU
+    backends and the kernels run in interpret mode. This lets CPU tests
+    drive the EXACT hardware code paths end-to-end (param repacks, pad
+    slicing, scale layouts, cache wiring) — kernel unit tests alone don't
+    cover the plumbing between them."""
+    return os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1"
+
+
+def backend_ok() -> bool:
+    """True when Pallas kernel paths may be routed to (real TPU, or any
+    backend under the interpret-mode override)."""
+    return jax.default_backend() == "tpu" or force_interpret()
+
+
 def _compiler_params():
     if _VMEM_MB:
         return pltpu.CompilerParams(
@@ -622,7 +637,7 @@ def w4a8_prefill_supported(x_2d_shape, w_leaf) -> bool:
     dequant path; validate task metrics before defaulting)."""
     if os.environ.get("CCT_PREFILL_W4A8", "0") != "1":
         return False
-    if jax.default_backend() != "tpu":
+    if not backend_ok():
         return False
     L, IN = x_2d_shape
     gs = w_leaf.group_size
@@ -735,7 +750,7 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
 
 
 def w8a8_tiled_supported(x_2d_shape, w_leaf) -> bool:
-    if jax.default_backend() != "tpu":
+    if not backend_ok():
         return False
     L, IN = x_2d_shape
     return w_leaf.kind == "int8" and L <= 32 and IN % 256 == 0
@@ -744,7 +759,7 @@ def w8a8_tiled_supported(x_2d_shape, w_leaf) -> bool:
 def w4a8_cpt_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the TILED column-packed head kernel (layout ==
     'colpack_tiled', w [T, in, TOh])."""
-    if jax.default_backend() != "tpu":
+    if not backend_ok():
         return False
     L, IN = x_2d_shape
     TOh = w_leaf.w.shape[-1]
@@ -760,7 +775,7 @@ def w4a8_cpt_supported(x_2d_shape, w_leaf) -> bool:
 
 def w4a8_cp_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the column-packed kernel (leaf layout == 'colpack')."""
-    if jax.default_backend() != "tpu":
+    if not backend_ok():
         return False
     L, IN = x_2d_shape
     OUTh = w_leaf.w.shape[-1]
@@ -779,7 +794,7 @@ def w4a8_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the dual-dot kernel: decode-sized activations, MXU-aligned
     dims, 8-aligned group blocks, and a VMEM-friendly output width (the
     128k-vocab head takes the native-int8-dot path instead)."""
-    if jax.default_backend() != "tpu":
+    if not backend_ok():
         return False
     L, IN = x_2d_shape
     OUT = w_leaf.w.shape[-1]

@@ -185,7 +185,8 @@ def run_task(
         params = T.stack_layer_params(params)
         if args.tp == 1 and args.dp == 1:
             params = T.fuse_layer_params(params)  # see generate.py
-            if jax.default_backend() == "tpu":
+            from cold_compress_tpu.ops.pallas_qmm import force_interpret
+            if jax.default_backend() == "tpu" or force_interpret():
                 params = T.colpack_layer_params(params)
                 if os.environ.get("CCT_TILED_HEAD", "0") == "1":
                     params = T.tile_output_head(params)
