@@ -86,24 +86,22 @@ def _reset_jit(caches):
     return reset_state(caches)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "max_steps", "attn_top_k"),
-    donate_argnames=("caches",),
-)
-def _decode_loop_jit(
+def decode_loop_core(
     cfg: ModelConfig,
-    params,
-    rope,
+    step_fn,
     caches,
     first_token: jax.Array,  # [B]
     start_pos: jax.Array,  # scalar int32
     prefix: jax.Array,  # [max_steps] int32, -1 where not teacher-forced
     terminators: jax.Array,  # [T] int32, padded with -1
     max_steps: int,
-    attn_top_k: float = 1.0,
 ):
-    """Run up to ``max_steps`` decode steps fully on device.
+    """Device-side decode loop shared by the single-device jit and the
+    shard_map tensor-parallel path (parallel/tp_decode.py).
+
+    ``step_fn(caches, token, pos) -> (logits, caches)`` supplies the model
+    step; everything else (teacher forcing, terminators, prob recording) is
+    identical across run modes.
 
     Returns (tokens [max_steps+1, B] — slot 0 is ``first_token``; emitted
     probs [max_steps, B] — probability assigned to each emitted/forced token;
@@ -122,15 +120,7 @@ def _decode_loop_jit(
 
     def body(carry):
         i, done, cur_tok, caches, tokens_buf, probs_buf, last_probs = carry
-        logits, caches = T.decode_step(
-            cfg,
-            params,
-            rope,
-            caches,
-            cur_tok,
-            start_pos + i,
-            attn_top_k=attn_top_k,
-        )
+        logits, caches = step_fn(caches, cur_tok, start_pos + i)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         forced = prefix[i]
         teacher = forced >= 0
@@ -164,6 +154,36 @@ def _decode_loop_jit(
     return tokens_buf, probs_buf, i, last_probs, caches
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "attn_top_k"),
+    donate_argnames=("caches",),
+)
+def _decode_loop_jit(
+    cfg: ModelConfig,
+    params,
+    rope,
+    caches,
+    first_token: jax.Array,
+    start_pos: jax.Array,
+    prefix: jax.Array,
+    terminators: jax.Array,
+    max_steps: int,
+    attn_top_k: float = 1.0,
+):
+    """Single-program decode loop on the default device(s)."""
+
+    def step_fn(caches, tok, pos):
+        return T.decode_step(
+            cfg, params, rope, caches, tok, pos, attn_top_k=attn_top_k
+        )
+
+    return decode_loop_core(
+        cfg, step_fn, caches, first_token, start_pos, prefix, terminators,
+        max_steps,
+    )
+
+
 # --------------------------------------------------------------------------
 # Host-level generate()
 # --------------------------------------------------------------------------
@@ -195,6 +215,7 @@ def generate(
     prefill_bucket: Optional[int] = None,
     sp_mesh=None,
     pp_mesh=None,
+    tp_ctx=None,
 ) -> Tuple[List[int], Dict[str, Any], Any]:
     """Generate greedily from a prompt; returns (sequence, info, caches).
 
@@ -291,6 +312,18 @@ def generate(
             jnp.int32(prompt_length), sp_mesh,
         )
         greedy_tok, prefill_probs = _logits_post_jit(logits)
+    elif tp_ctx is not None:
+        # shard_map tensor parallelism: per-device Pallas kernels over the
+        # same local weight shards the decode loop streams
+        # (parallel/tp_decode.py).
+        from ..parallel.tp_decode import tp_prefill
+
+        assert is_stacked(caches), "tp_ctx requires the stacked-layer layout"
+        logits, caches = tp_prefill(
+            cfg, tp_ctx.mesh, tp_ctx.slim, tp_ctx.layers, tp_ctx.head,
+            rope, caches, tokens, jnp.int32(prompt_length),
+        )
+        greedy_tok, prefill_probs = _logits_post_jit(logits)
     else:
         greedy_tok, prefill_probs, caches = _prefill_jit(
             cfg, params, rope, caches, tokens, jnp.int32(prompt_length)
@@ -315,18 +348,32 @@ def generate(
     )
 
     if max_steps > 0:
-        tokens_buf, probs_buf, n_steps, last_probs, caches = _decode_loop_jit(
-            cfg,
-            params,
-            rope,
-            caches,
-            first_token,
-            jnp.int32(prompt_length),
-            prefix_arr,
-            term_arr,
-            max_steps,
-            attn_top_k,
-        )
+        if tp_ctx is not None:
+            from ..parallel.tp_decode import tp_decode_loop
+
+            tokens_buf, probs_buf, n_steps, last_probs, caches = (
+                tp_decode_loop(
+                    cfg, tp_ctx.mesh, tp_ctx.slim, tp_ctx.layers,
+                    tp_ctx.head, rope, caches, first_token,
+                    jnp.int32(prompt_length), prefix_arr, term_arr,
+                    max_steps, attn_top_k,
+                )
+            )
+        else:
+            tokens_buf, probs_buf, n_steps, last_probs, caches = (
+                _decode_loop_jit(
+                    cfg,
+                    params,
+                    rope,
+                    caches,
+                    first_token,
+                    jnp.int32(prompt_length),
+                    prefix_arr,
+                    term_arr,
+                    max_steps,
+                    attn_top_k,
+                )
+            )
         tokens_buf = np.asarray(jax.block_until_ready(tokens_buf))
         t2 = time.perf_counter()
         gen = [int(t) for t in tokens_buf[:, 0] if int(t) != -1]

@@ -151,6 +151,15 @@ def add_generation_arguments(parser: argparse.ArgumentParser):
         help="Tensor-parallel degree over the device mesh.",
     )
     group.add_argument(
+        "--tp_kernels",
+        action="store_true",
+        help="Run tensor parallelism as an explicit shard_map with "
+        "per-device Pallas kernels (parallel/tp_decode.py) instead of "
+        "GSPMD sharding annotations. Keeps the W4A8/W8A8 decode kernels "
+        "running under --tp (GSPMD cannot partition Pallas custom calls, "
+        "so the annotation path falls back to XLA dequant matmuls).",
+    )
+    group.add_argument(
         "--pp",
         type=int,
         default=1,

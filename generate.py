@@ -115,7 +115,16 @@ def main(args) -> None:
                 if os.environ.get("CCT_TILED_HEAD", "0") == "1":
                     params = T.tile_output_head(params)
 
-    if args.tp > 1:
+    tp_ctx = None
+    if args.tp > 1 and getattr(args, "tp_kernels", False):
+        # Explicit shard_map TP: per-device local weight repacks keep the
+        # Pallas decode kernels running (parallel/tp_decode.py). GSPMD
+        # cannot partition Pallas custom calls.
+        from cold_compress_tpu.parallel.tp_decode import prepare_tp
+
+        tp_ctx = prepare_tp(cfg, params, args.tp)
+        print(f"Tensor-parallel (shard_map kernels) over {args.tp} devices")
+    elif args.tp > 1:
         # Shard weights column/row-wise and caches on the KV-head axis over
         # a (1, tp) mesh; GSPMD inserts the two per-layer all-reduces the
         # reference wires by hand (reference: generate.py:79-86, tp.py:171).
@@ -166,6 +175,7 @@ def main(args) -> None:
         feed_long_prompts=args.feed_long_prompts,
         sp_mesh=sp_mesh,
         pp_mesh=pp_mesh,
+        tp_ctx=tp_ctx,
     )
 
     if args.profile:

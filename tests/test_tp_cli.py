@@ -45,6 +45,15 @@ def test_tp_cli_matches_single_device():
     assert base == tp2
 
 
+def test_tp_kernels_cli_matches_single_device():
+    """--tp_kernels runs the explicit shard_map path (per-device repacks +
+    Pallas-capable kernels, parallel/tp_decode.py); generation must match
+    the single-device run."""
+    base = run_cli(["--tp", "1"])
+    tp2 = run_cli(["--tp", "2", "--tp_kernels"])
+    assert base == tp2
+
+
 def test_sp_cli_matches_single_device():
     """--sp 4 shards the prefill query blocks; generation must match the
     single-device run (same greedy tokens)."""
