@@ -190,7 +190,13 @@ def run_task(
                 params = T.colpack_layer_params(params)
                 if os.environ.get("CCT_TILED_HEAD", "0") == "1":
                     params = T.tile_output_head(params)
-    if args.tp > 1 or args.dp > 1:
+    tp_ctx = None
+    if args.tp > 1 and getattr(args, "tp_kernels", False):
+        assert args.dp == 1, "--tp_kernels composes with dp=1 for now"
+        from cold_compress_tpu.parallel.tp_decode import prepare_tp
+
+        tp_ctx = prepare_tp(cfg, params, args.tp)  # see generate.py
+    elif args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 
         _, params, caches = shard_model(
@@ -313,6 +319,7 @@ def run_task(
             prefill_bucket=task_bucket,
             sp_mesh=sp_mesh,
             pp_mesh=pp_mesh,
+            tp_ctx=tp_ctx,
         )
         for k, v in info["perf_stats"].items():
             aggregate[k].append(v)
