@@ -433,6 +433,7 @@ def generate_batch(
     attn_top_k: float = 1.0,
     pad_id: int = 0,
     prefill_bucket: Optional[int] = None,
+    tp_ctx=None,
 ) -> Tuple[List[List[int]], Dict[str, Any], Any]:
     """Batched greedy generation: B prompts of different lengths decode in
     lock-step with per-lane positions, per-lane terminator early-exit, and
@@ -488,9 +489,19 @@ def generate_batch(
     plen = jnp.asarray(lens, jnp.int32)
 
     t0 = time.perf_counter()
-    greedy_tok, prefill_probs, caches = _prefill_jit(
-        cfg, params, rope, caches, tokens, plen
-    )
+    if tp_ctx is not None:
+        from ..parallel.tp_decode import tp_prefill
+
+        assert is_stacked(caches), "tp_ctx requires the stacked-layer layout"
+        logits, caches = tp_prefill(
+            cfg, tp_ctx.mesh, tp_ctx.slim, tp_ctx.layers, tp_ctx.head,
+            rope, caches, tokens, plen,
+        )
+        greedy_tok, prefill_probs = _logits_post_jit(logits)
+    else:
+        greedy_tok, prefill_probs, caches = _prefill_jit(
+            cfg, params, rope, caches, tokens, plen
+        )
     prefill_probs = np.asarray(jax.block_until_ready(prefill_probs))
     t1 = time.perf_counter()
 
@@ -510,18 +521,31 @@ def generate_batch(
     )
 
     if max_steps > 0:
-        tokens_buf, probs_buf, n_steps, last_probs, caches = _decode_loop_jit(
-            cfg,
-            params,
-            rope,
-            caches,
-            first_token,
-            plen,
-            prefix_arr,
-            term_arr,
-            max_steps,
-            attn_top_k,
-        )
+        if tp_ctx is not None:
+            from ..parallel.tp_decode import tp_decode_loop
+
+            tokens_buf, probs_buf, n_steps, last_probs, caches = (
+                tp_decode_loop(
+                    cfg, tp_ctx.mesh, tp_ctx.slim, tp_ctx.layers,
+                    tp_ctx.head, rope, caches, first_token, plen,
+                    prefix_arr, term_arr, max_steps, attn_top_k,
+                )
+            )
+        else:
+            tokens_buf, probs_buf, n_steps, last_probs, caches = (
+                _decode_loop_jit(
+                    cfg,
+                    params,
+                    rope,
+                    caches,
+                    first_token,
+                    plen,
+                    prefix_arr,
+                    term_arr,
+                    max_steps,
+                    attn_top_k,
+                )
+            )
         tokens_buf = np.asarray(jax.block_until_ready(tokens_buf))
         t2 = time.perf_counter()
         gens = [

@@ -142,6 +142,44 @@ def test_tp_int4_kernels_match_single_device(tp_model, monkeypatch,
     np.testing.assert_allclose(f1, f0, atol=5e-2)
 
 
+def test_tp_batched_matches_single(tp_model, monkeypatch):
+    """generate_batch under shard_map TP: per-lane positions/terminators
+    ride the replicated loop state; tokens must match the single-device
+    batched run."""
+    from cold_compress_tpu.runtime.generate import generate_batch
+
+    cfg, params, rope = tp_model
+    prompts = [PROMPT[:120], PROMPT[:77]]
+
+    def batch_caches():
+        specs = build_cache_specs(
+            cfg,
+            {
+                "cache_strategy": ["heavy_hitter"],
+                "max_cache_length": [0.25],
+                "prompt_compression_strategy": ["heavy_hitter"],
+                "global_tokens": 4,
+                "recent_window": 10,
+            },
+            max_seq_length=512,
+        )
+        return T.init_caches(cfg, specs, 2, jnp.bfloat16)
+
+    for k in GATES:
+        monkeypatch.delenv(k, raising=False)
+    jax.clear_caches()
+    p = T.stack_layer_params(params)
+    seqs0, _, _ = generate_batch(
+        cfg, p, rope, batch_caches(), prompts, 8, prefill_bucket=512
+    )
+    ctx = prepare_tp(cfg, params, 2)
+    seqs1, _, _ = generate_batch(
+        cfg, params, rope, batch_caches(), prompts, 8,
+        prefill_bucket=512, tp_ctx=ctx,
+    )
+    assert seqs1 == seqs0
+
+
 def test_tp_int4_xla_fallback_matches(tp_model, monkeypatch):
     """Without the interpret override (plain CPU) the TP path must still be
     numerically right via its local XLA dequant fallbacks."""
