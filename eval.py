@@ -260,6 +260,7 @@ def run_task(
                 terminator_ids=terminator_ids,
                 attn_top_k=args.attn_top_k,
                 prefill_bucket=task_bucket,
+                tp_ctx=tp_ctx,
             )
             for k, v in info["perf_stats"].items():
                 aggregate[k].append(v)
