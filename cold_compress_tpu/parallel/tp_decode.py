@@ -55,16 +55,56 @@ from ..ops.linear import (
     to_colpack_tiled,
     to_tiled_int8,
 )
-from .sp import _tp_cache_specs
+
+def _dp_tp_cache_specs(caches):
+    """Batch axis on dp, KV-head axis on tp (head-locality rationale:
+    parallel/mesh.py::cache_pspecs). Handles stacked [L, B, KVH, ...] and
+    per-layer [B, KVH, ...] leaves."""
+    from ..caches.base import CacheState
+
+    def one(state):
+        off = 1 if state.pos.ndim == 4 else 0
+        B, KVH = state.pos.shape[off], state.pos.shape[off + 1]
+        lead = (None,) * off
+
+        def leaf_spec(x):
+            if x is None:
+                return None
+            if (
+                x.ndim >= off + 2
+                and x.shape[off] == B
+                and x.shape[off + 1] == KVH
+            ):
+                return P(*lead, "dp", "tp", *([None] * (x.ndim - off - 2)))
+            return P(*([None] * x.ndim))
+
+        return jax.tree.map(leaf_spec, state)
+
+    if isinstance(caches, CacheState):
+        return one(caches)
+    return tuple(one(st) for st in caches)
+
+
+def _lane_spec(arr):
+    """Per-lane vectors ([B]) shard on dp; scalars stay replicated."""
+    return P("dp") if getattr(arr, "ndim", 0) == 1 else P()
 
 _COL = ("wq", "wk", "wv", "w1", "w3", "bq", "bk", "bv")
 _ROW = ("wo", "w2")
 
 
-def make_tp_mesh(tp: int, devices=None) -> Mesh:
+def make_tp_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    """(dp, tp) mesh, tp innermost (its two per-layer psums are the
+    latency-critical collectives); dp shards the batch axis and needs no
+    in-layer communication."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= tp, f"Need {tp} devices, have {len(devices)}"
-    return Mesh(np.asarray(devices[:tp]), axis_names=("tp",))
+    assert len(devices) >= dp * tp, (
+        f"Need {dp * tp} devices, have {len(devices)}"
+    )
+    return Mesh(
+        np.asarray(devices[: dp * tp]).reshape(dp, tp),
+        axis_names=("dp", "tp"),
+    )
 
 
 def _slice_last(a, t: int, tp: int):
@@ -178,7 +218,8 @@ def _strip_device_axis(tree):
     return jax.tree.map(lambda a: a[0], tree)
 
 
-def prepare_tp(cfg: ModelConfig, params, tp: int, devices=None) -> TpContext:
+def prepare_tp(cfg: ModelConfig, params, tp: int, dp: int = 1,
+               devices=None) -> TpContext:
     """Build the per-device local param stacks for shard_map TP.
 
     ``params`` may be per-layer lists or pre-stacked; quantized leaves must
@@ -224,7 +265,7 @@ def prepare_tp(cfg: ModelConfig, params, tp: int, devices=None) -> TpContext:
         "norm": params["norm"],
     }
     return TpContext(
-        mesh=make_tp_mesh(tp, devices),
+        mesh=make_tp_mesh(tp, dp=dp, devices=devices),
         slim=slim,
         layers=local_layers,
         head=local_head,
@@ -296,16 +337,18 @@ def tp_prefill(
     Returns (last-position logits [B, vocab] f32, caches)."""
     B, Pfull = tokens.shape
     tp = mesh.shape["tp"]
+    assert B % mesh.shape["dp"] == 0, "batch must divide the dp axis"
     cfg_loc = _local_cfg(cfg, tp)
     plen = jnp.asarray(prompt_len, jnp.int32)
     freqs = rope[:Pfull]
-    cache_specs = _tp_cache_specs(caches)
+    cache_specs = _dp_tp_cache_specs(caches)
 
     def f(slim, layers, head, caches, tokens, plen):
         layers = _strip_device_axis(layers)
         head = None if head is None else _strip_device_axis(head)
+        Bl = tokens.shape[0]  # local lanes (B / dp)
         input_pos = jnp.arange(Pfull, dtype=jnp.int32)
-        plen_b = jnp.broadcast_to(jnp.atleast_1d(plen), (B,))
+        plen_b = jnp.broadcast_to(jnp.atleast_1d(plen), (Bl,))
         valid = input_pos[None, :] < plen_b[:, None]
         x = T._embed(slim, tokens)
 
@@ -321,7 +364,7 @@ def tp_prefill(
         x, new_caches = jax.lax.scan(
             body, x, (jnp.arange(cfg.n_layer), caches)
         )
-        last = x[jnp.arange(B), plen_b - 1]  # [B, D]
+        last = x[jnp.arange(Bl), plen_b - 1]  # [Bl, D]
         logits = _tp_logits(cfg, slim, head, last[:, None])[:, 0]
         return logits, new_caches
 
@@ -331,9 +374,9 @@ def tp_prefill(
         in_specs=(
             _replicated_specs(slim), _device_axis_specs(layers),
             None if head is None else _device_axis_specs(head),
-            cache_specs, P(), P(),
+            cache_specs, P("dp", None), _lane_spec(plen),
         ),
-        out_specs=(P(), cache_specs),
+        out_specs=(P("dp", None), cache_specs),
         check_vma=False,
     )(slim, layers, head, caches, tokens, plen)
 
@@ -363,8 +406,9 @@ def tp_decode_loop(
     logits all_gather per token. Same contract as runtime._decode_loop_jit.
     """
     tp = mesh.shape["tp"]
+    dp = mesh.shape["dp"]
     cfg_loc = _local_cfg(cfg, tp)
-    cache_specs = _tp_cache_specs(caches)
+    cache_specs = _dp_tp_cache_specs(caches)
 
     def f(slim, layers, head, rope, caches, first_token, start_pos, prefix,
           terminators):
@@ -393,9 +437,18 @@ def tp_decode_loop(
 
         from ..runtime.generate import decode_loop_core
 
+        # dp lanes live on different devices: the stop decision must see
+        # every lane's done flag (a collective, run in the loop body).
+        all_done = (
+            jnp.all
+            if dp == 1
+            else lambda d: jnp.all(
+                jax.lax.all_gather(d, "dp", axis=0, tiled=True)
+            )
+        )
         return decode_loop_core(
             cfg, step_fn, caches, first_token, start_pos, prefix,
-            terminators, max_steps,
+            terminators, max_steps, all_done=all_done,
         )
 
     return shard_map(
@@ -404,9 +457,15 @@ def tp_decode_loop(
         in_specs=(
             _replicated_specs(slim), _device_axis_specs(layers),
             None if head is None else _device_axis_specs(head),
-            P(), cache_specs, P(), P(), P(), P(),
+            P(), cache_specs, P("dp"), _lane_spec(start_pos), P(), P(),
         ),
-        out_specs=(P(), P(), P(), P(), cache_specs),
+        out_specs=(
+            P(None, "dp"),  # tokens_buf [steps+1, B]
+            P(None, "dp"),  # probs_buf [steps, B]
+            P(),            # n_steps
+            P("dp", None),  # last_probs [B, vocab]
+            cache_specs,
+        ),
         check_vma=False,
     )(
         slim, layers, head, rope, caches, first_token,

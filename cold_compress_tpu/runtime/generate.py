@@ -95,13 +95,17 @@ def decode_loop_core(
     prefix: jax.Array,  # [max_steps] int32, -1 where not teacher-forced
     terminators: jax.Array,  # [T] int32, padded with -1
     max_steps: int,
+    all_done=jnp.all,
 ):
     """Device-side decode loop shared by the single-device jit and the
     shard_map tensor-parallel path (parallel/tp_decode.py).
 
     ``step_fn(caches, token, pos) -> (logits, caches)`` supplies the model
     step; everything else (teacher forcing, terminators, prob recording) is
-    identical across run modes.
+    identical across run modes. ``all_done(done_bool_vec) -> scalar bool``
+    decides loop exit — the dp-sharded path passes a reducer that gathers
+    the lane mask over the batch axis (a collective, so it runs in the loop
+    BODY and rides the carry into ``cond``).
 
     Returns (tokens [max_steps+1, B] — slot 0 is ``first_token``; emitted
     probs [max_steps, B] — probability assigned to each emitted/forced token;
@@ -115,11 +119,13 @@ def decode_loop_core(
     last_probs = jnp.zeros((B, V), jnp.float32)
 
     def cond(carry):
-        i, done = carry[0], carry[1]
-        return jnp.logical_and(i < max_steps, jnp.logical_not(jnp.all(done)))
+        i, stop = carry[0], carry[1]
+        return jnp.logical_and(i < max_steps, jnp.logical_not(stop))
 
     def body(carry):
-        i, done, cur_tok, caches, tokens_buf, probs_buf, last_probs = carry
+        i, stop, done, cur_tok, caches, tokens_buf, probs_buf, last_probs = (
+            carry
+        )
         logits, caches = step_fn(caches, cur_tok, start_pos + i)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         forced = prefix[i]
@@ -136,20 +142,26 @@ def decode_loop_core(
         probs_buf = probs_buf.at[i].set(jnp.where(done, 0.0, p_emit))
         last_probs = jnp.where(done[:, None], last_probs, probs)
         done = jnp.logical_or(done, is_term)
-        return (i + 1, done, next_tok, caches, tokens_buf, probs_buf, last_probs)
+        return (
+            i + 1, all_done(done), done, next_tok, caches, tokens_buf,
+            probs_buf, last_probs,
+        )
 
-    i, done, _, caches, tokens_buf, probs_buf, last_probs = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.int32(0),
-            jnp.zeros((B,), bool),
-            first_token,
-            caches,
-            tokens_buf,
-            probs_buf,
-            last_probs,
-        ),
+    (i, _, done, _, caches, tokens_buf, probs_buf, last_probs) = (
+        jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.int32(0),
+                jnp.asarray(False),
+                jnp.zeros((B,), bool),
+                first_token,
+                caches,
+                tokens_buf,
+                probs_buf,
+                last_probs,
+            ),
+        )
     )
     return tokens_buf, probs_buf, i, last_probs, caches
 

@@ -192,10 +192,14 @@ def run_task(
                     params = T.tile_output_head(params)
     tp_ctx = None
     if args.tp > 1 and getattr(args, "tp_kernels", False):
-        assert args.dp == 1, "--tp_kernels composes with dp=1 for now"
+        if args.dp > 1:
+            assert use_batch and bs % args.dp == 0, (
+                "--tp_kernels --dp shards batch lanes: needs --batch_size "
+                "divisible by dp (and a batchable task config)"
+            )
         from cold_compress_tpu.parallel.tp_decode import prepare_tp
 
-        tp_ctx = prepare_tp(cfg, params, args.tp)  # see generate.py
+        tp_ctx = prepare_tp(cfg, params, args.tp, dp=args.dp)
     elif args.tp > 1 or args.dp > 1:
         from cold_compress_tpu.parallel.mesh import shard_model
 

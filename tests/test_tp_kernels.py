@@ -180,6 +180,47 @@ def test_tp_batched_matches_single(tp_model, monkeypatch):
     assert seqs1 == seqs0
 
 
+def test_dp_tp_batched_matches_single(tp_model, monkeypatch):
+    """2-D (dp=2, tp=2) mesh: batch lanes shard over dp, heads over tp;
+    per-lane early termination must see every lane's done flag through the
+    dp all_gather. Tokens match the single-device batched run."""
+    from cold_compress_tpu.runtime.generate import generate_batch
+
+    cfg, _, rope = tp_model
+    # f32 weights: bf16 psum reordering can legitimately flip a near-tied
+    # greedy pick late in generation; f32 keeps the comparison exact.
+    params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [PROMPT[:120], PROMPT[:77], PROMPT[:150], PROMPT[:50]]
+
+    def batch_caches():
+        specs = build_cache_specs(
+            cfg,
+            {
+                "cache_strategy": ["heavy_hitter"],
+                "max_cache_length": [0.25],
+                "prompt_compression_strategy": ["heavy_hitter"],
+                "global_tokens": 4,
+                "recent_window": 10,
+            },
+            max_seq_length=512,
+        )
+        return T.init_caches(cfg, specs, 4, jnp.float32)
+
+    for k in GATES:
+        monkeypatch.delenv(k, raising=False)
+    jax.clear_caches()
+    p = T.stack_layer_params(params)
+    seqs0, _, _ = generate_batch(
+        cfg, p, rope, batch_caches(), prompts, 8, prefill_bucket=512
+    )
+    ctx = prepare_tp(cfg, params, 2, dp=2)
+    seqs1, _, _ = generate_batch(
+        cfg, params, rope, batch_caches(), prompts, 8,
+        prefill_bucket=512, tp_ctx=ctx,
+    )
+    assert seqs1 == seqs0
+
+
 def test_tp_int4_xla_fallback_matches(tp_model, monkeypatch):
     """Without the interpret override (plain CPU) the TP path must still be
     numerically right via its local XLA dequant fallbacks."""
