@@ -69,6 +69,8 @@ run probe_onedot python -u scripts/perf_probe8.py --variant onedot
 run probe_cp2    python -u scripts/perf_probe8.py --variant cp2
 run probe_dma2   python -u scripts/perf_probe8.py --variant dma2
 run probe_cp2x2  python -u scripts/perf_probe8.py --variant cp2x2
+run probe9_sep   python -u scripts/perf_probe9.py --variant sep
+run probe9_mega  python -u scripts/perf_probe9.py --variant mega
 
 # 5. Riskiest last: fat tiles drove the r2 scoped-vmem wedge.
 run bench_s4     env CCT_QMM_STREAMS=4 CCT_QMM_VMEM_MB=100 CCT_TILED_HEAD=1 python -u bench.py --head_bits 4
