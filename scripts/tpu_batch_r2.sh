@@ -24,6 +24,10 @@ print('ping ok')
 
 run() {
   name=$1; shift
+  if [ -n "${DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "=== $name: SKIPPED (past DEADLINE_EPOCH; freeing the chip)" | tee -a "$SUM"
+    return
+  fi
   echo "=== $name: $*" | tee -a "$SUM"
   timeout 2400 "$@" > "/tmp/r2batch/$name.log" 2>&1
   rc=$?
