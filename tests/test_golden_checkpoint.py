@@ -125,6 +125,68 @@ def test_tied_embedding_fallback(tmp_path):
     )
 
 
+def test_rope_scaling_llama31_matches_hf(tmp_path):
+    """Llama-3.1 RoPE frequency scaling: our smooth low/high-frequency
+    interpolation (models/transformer.py::precompute_freqs_cis, reference
+    model.py:124-130) must match HF's ``rope_type='llama3'`` exactly —
+    none of the other golden tests exercise the scaling branch, so a bug
+    in the wavelength thresholds or smooth factor would pass them all."""
+    scaling = dict(
+        factor=8.0,
+        low_freq_factor=1.0,
+        high_freq_factor=4.0,
+        original_max_position_embeddings=32,
+    )
+    torch.manual_seed(4)
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=VOCAB,
+        hidden_size=DIM,
+        intermediate_size=FFN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        num_key_value_heads=KV,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        rope_scaling=dict(rope_type="llama3", **scaling),
+    )
+    model = transformers.LlamaForCausalLM(cfg_hf)
+    model.eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.data = p.data.to(torch.bfloat16).to(torch.float32)
+    ckpt = tmp_path / "TestTiny"
+    model.save_pretrained(ckpt, safe_serialization=True)
+    npz = convert_hf_checkpoint(ckpt)
+
+    from cold_compress_tpu.models.config import RopeScaling
+
+    cfg, params, _ = load_model(
+        str(npz), precision=jnp.float32, model_name="TestTiny"
+    )
+    cfg = cfg.replace(rope_scaling=RopeScaling(**scaling))
+    rope = T.make_rope_table(cfg)
+    from cold_compress_tpu.caches import CacheSpec
+
+    specs = tuple(
+        CacheSpec(
+            cache_strategy="full", max_cache_length=64, max_seq_length=64
+        )
+        for _ in range(cfg.n_layer)
+    )
+    caches = T.init_caches(cfg, specs, 1, jnp.float32)
+    if T.is_stacked(caches):
+        params = T.stack_layer_params(params)
+    # Positions past original_max/4 hit all three scaling regimes for
+    # head_dim 16 at theta 1e4 (wavelengths span 6.3 .. 628).
+    ids = (IDS * 5)[:48]
+    logits, _ = T.prefill(
+        cfg, params, rope, caches, jnp.asarray([ids], jnp.int32),
+        jnp.int32(len(ids)),
+    )
+    assert_logits_close(np.asarray(logits[0]), hf_last_logits(model, ids))
+
+
 def test_meta_consolidated_roundtrip(tmp_path):
     """Meta 'original/consolidated.00.pth' path: weights are already
     RoPE-interleaved, so the converter must NOT permute them."""
