@@ -103,9 +103,33 @@ def test_hf_safetensors_roundtrip(tmp_path):
         )
 
 
-def test_hf_attention_bias_roundtrip(tmp_path):
-    """Qwen2-style attention biases ride the same permutation."""
-    model = build_hf_model(seed=1, attention_bias=True)
+def test_qwen2_attention_bias_roundtrip(tmp_path):
+    """Real Qwen2 architecture: q/k/v projection biases (no o bias) must
+    ride the same RoPE permutation as the weight rows. HF zero-initializes
+    biases, so they are randomized here — with zeros this golden would
+    pass even if the converter dropped or mis-permuted every bias."""
+    torch.manual_seed(1)
+    cfg_hf = transformers.Qwen2Config(
+        vocab_size=VOCAB,
+        hidden_size=DIM,
+        intermediate_size=FFN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        num_key_value_heads=KV,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    model = transformers.Qwen2ForCausalLM(cfg_hf)
+    model.eval()
+    with torch.no_grad():
+        for n, p in model.named_parameters():
+            if n.endswith(".bias"):
+                p.data = torch.randn_like(p.data) * 0.5
+            p.data = p.data.to(torch.bfloat16).to(torch.float32)
+    assert any(
+        n.endswith("q_proj.bias") for n, _ in model.named_parameters()
+    ), "Qwen2 config stopped emitting qkv biases; test needs updating"
     ckpt = tmp_path / "TestTiny"
     model.save_pretrained(ckpt, safe_serialization=True)
     npz = convert_hf_checkpoint(ckpt)
