@@ -50,10 +50,18 @@ def make_mesh(
                 f"{jax.local_device_count()} devices so its all-reduces "
                 "ride ICI; shard dp across hosts instead."
             )
-            dev_array = mesh_utils.create_hybrid_device_mesh(
-                mesh_shape=(dp // jax.process_count(), tp),
-                dcn_mesh_shape=(jax.process_count(), 1),
-            )
+            try:
+                dev_array = mesh_utils.create_hybrid_device_mesh(
+                    mesh_shape=(dp // jax.process_count(), tp),
+                    dcn_mesh_shape=(jax.process_count(), 1),
+                )
+            except ValueError:
+                # No slice metadata (CPU/gloo dryrun): lay dp across
+                # processes by hand so each tp row stays process-local.
+                devs = sorted(
+                    jax.devices(), key=lambda d: (d.process_index, d.id)
+                )
+                dev_array = np.asarray(devs[: dp * tp]).reshape(dp, tp)
             return Mesh(dev_array, axis_names=("dp", "tp"))
         devices = jax.devices()
     assert len(devices) >= tp * dp, (
