@@ -666,7 +666,7 @@ def w4a8_prefill_supported(x_2d_shape, w_leaf) -> bool:
 
 def _w8a8_kernel(x_ref, w_ref, s_ref, o_ref):
     d = jnp.dot(x_ref[...], w_ref[0], preferred_element_type=jnp.int32)
-    o_ref[...] = d.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+    o_ref[...] = d.astype(jnp.float32) * s_ref[0, 0].astype(jnp.float32)
 
 
 def _w8a8_kernel_ms(x_ref, *refs, streams):
@@ -675,7 +675,7 @@ def _w8a8_kernel_ms(x_ref, *refs, streams):
         w_ref, s_ref = refs[2 * i], refs[2 * i + 1]
         o_ref = refs[2 * S + i]
         d = jnp.dot(x_ref[...], w_ref[0], preferred_element_type=jnp.int32)
-        o_ref[...] = d.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+        o_ref[...] = d.astype(jnp.float32) * s_ref[0, 0].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -688,6 +688,11 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
     x, true_L = _pad_rows(x)
     L, IN = x.shape
     T, _, TO = w_tiled.shape
+    # Mosaic requires a block's last two dims to divide (8, 128) or equal
+    # the array dims; a (1, TO) block over [T, TO] scales violates the
+    # sublane rule (interpret mode does not check this), so carry the
+    # scales as [T, 1, TO] and take full (1, TO) trailing blocks.
+    s_tiled = s_tiled.reshape(T, 1, TO)
     xq, sx = _quantize_rows(x)
     cost = pl.CostEstimate(
         flops=2 * L * IN * T * TO,
@@ -705,7 +710,7 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
                 pl.BlockSpec(
                     (1, IN, TO), lambda j, off=off: (j + off, 0, 0)
                 ),
-                pl.BlockSpec((1, TO), lambda j, off=off: (j + off, 0)),
+                pl.BlockSpec((1, 1, TO), lambda j, off=off: (j + off, 0, 0)),
             ]
             operands += [w_tiled, s_tiled]
         parts = pl.pallas_call(
@@ -734,7 +739,7 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((L, IN), lambda j: (0, 0)),
             pl.BlockSpec((1, IN, TO), lambda j: (j, 0, 0)),
-            pl.BlockSpec((1, TO), lambda j: (j, 0)),
+            pl.BlockSpec((1, 1, TO), lambda j: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((L, TO), lambda j: (0, j)),
     )
