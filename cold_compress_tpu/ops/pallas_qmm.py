@@ -68,12 +68,22 @@ def backend_ok() -> bool:
     return jax.default_backend() == "tpu" or force_interpret()
 
 
-def _compiler_params():
-    if _VMEM_MB:
-        return pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_MB * 1024 * 1024
-        )
+def _compiler_params(min_vmem_bytes: int = 0):
+    """Mosaic compiler params; ``min_vmem_bytes`` raises the ~16 MB scoped
+    vmem limit when the caller knows its in-flight block footprint exceeds
+    it (multi-stream kernels keep S double-buffered weight blocks resident
+    — measured 17.3 M at S=2 on the w2 projection, a hard compile error
+    under the default limit). CCT_QMM_VMEM_MB still overrides upward."""
+    need = max(min_vmem_bytes, _VMEM_MB * 1024 * 1024)
+    if need > 16 * 1024 * 1024 or _VMEM_MB:
+        return pltpu.CompilerParams(vmem_limit_bytes=need)
     return None
+
+
+def _stream_vmem_bytes(S: int, block_bytes: int) -> int:
+    """Scoped-vmem floor for S concurrent double-buffered weight streams:
+    2 blocks in flight per stream plus ~4 MB for activations/outputs."""
+    return 2 * S * block_bytes + 4 * 1024 * 1024
 
 
 def _pick_tile_out(INh: int, OUT: int) -> int:
@@ -471,7 +481,9 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
                 jax.ShapeDtypeStruct((2, L, Ts * TOh), jnp.float32)
                 for _ in range(S)
             ],
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(
+                _stream_vmem_bytes(S, IN * TOh)
+            ),
             interpret=interpret,
             cost_estimate=cost,
         )(idx_arg, xbd, xs, *operands)
@@ -727,7 +739,9 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
                 jax.ShapeDtypeStruct((L, Ts * TO), jnp.float32)
                 for _ in range(S)
             ],
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(
+                _stream_vmem_bytes(S, IN * TO)
+            ),
             interpret=interpret,
             cost_estimate=cost,
         )(xq, *operands)
@@ -752,6 +766,15 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
         cost_estimate=cost,
     )(xq, w_tiled, s_tiled)
     return (y * sx)[:true_L]
+
+
+def tiled_head_enabled() -> bool:
+    """Tiled vocab-head repack (tiled8 int8 / colpack_tiled int4).
+
+    Default ON — hardware-validated in the round-2 TPU batch (int4 head:
+    83.7 -> 90.0 tok/s on the north-star config). CCT_TILED_HEAD=0 opts
+    out, restoring the rowmajor XLA int8 dot / flat colpack kernel."""
+    return os.environ.get("CCT_TILED_HEAD", "1") != "0"
 
 
 def w8a8_tiled_supported(x_2d_shape, w_leaf) -> bool:
