@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="Tiny config on CPU.")
     ap.add_argument("--weight_bits", type=int, default=4, choices=[16, 8, 4])
     ap.add_argument(
-        "--head_bits", type=int, default=8, choices=[8, 4],
-        help="Vocab-head weight bits (int8 parity default; 4 halves the "
-        "second-largest decode byte stream via the tiled colpack kernel).",
+        "--head_bits", type=int, default=4, choices=[8, 4],
+        help="Vocab-head weight bits. int4 is reference parity — the "
+        "reference's int4 mode quantizes every Linear including the vocab "
+        "head (reference: quantize.py:437-455,485-486) — and halves the "
+        "second-largest decode byte stream via the tiled colpack kernel.",
     )
     ap.add_argument("--cache_bits", type=int, default=None, choices=[8, 4, 2])
     ap.add_argument("--strategy", default="heavy_hitter")
@@ -118,8 +120,9 @@ def main():
             params = T.colpack_layer_params(params)
             # Tiled vocab head: contiguous blocks for the Pallas one-dot
             # W8A8 / colpack W4A8 kernels (second-largest decode byte
-            # stream). Opt-in until Mosaic-validated on the real chip.
-            if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+            # stream). Hardware-validated r2; CCT_TILED_HEAD=0 opts out.
+            from cold_compress_tpu.ops.pallas_qmm import tiled_head_enabled
+            if tiled_head_enabled():
                 params = T.tile_output_head(params)
         log("using stacked (scan-over-layers) execution, fused projections")
 

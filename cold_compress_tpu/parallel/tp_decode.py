@@ -55,6 +55,7 @@ from ..ops.linear import (
     to_colpack_tiled,
     to_tiled_int8,
 )
+from ..ops.pallas_qmm import tiled_head_enabled
 
 def _dp_tp_cache_specs(caches):
     """Batch axis on dp, KV-head axis on tp (head-locality rationale:
@@ -174,7 +175,7 @@ def _head_local(out_w, t: int, tp: int):
     single-chip path uses (tiled8 / colpack[_tiled] under CCT_TILED_HEAD)."""
     if out_w is None:
         return None
-    tiled = os.environ.get("CCT_TILED_HEAD", "0") == "1"
+    tiled = tiled_head_enabled()
     if is_quantized(out_w):
         sl = dataclasses.replace(
             out_w,

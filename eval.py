@@ -185,10 +185,13 @@ def run_task(
         params = T.stack_layer_params(params)
         if args.tp == 1 and args.dp == 1:
             params = T.fuse_layer_params(params)  # see generate.py
-            from cold_compress_tpu.ops.pallas_qmm import force_interpret
+            from cold_compress_tpu.ops.pallas_qmm import (
+                force_interpret,
+                tiled_head_enabled,
+            )
             if jax.default_backend() == "tpu" or force_interpret():
                 params = T.colpack_layer_params(params)
-                if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+                if tiled_head_enabled():
                     params = T.tile_output_head(params)
     tp_ctx = None
     if args.tp > 1 and getattr(args, "tp_kernels", False):

@@ -107,12 +107,15 @@ def main(args) -> None:
             # overhead; TP shards the per-projection output axes, so the
             # sharded path keeps them separate (models/transformer.py).
             params = T.fuse_layer_params(params)
-            from cold_compress_tpu.ops.pallas_qmm import force_interpret
+            from cold_compress_tpu.ops.pallas_qmm import (
+                force_interpret,
+                tiled_head_enabled,
+            )
             if jax.default_backend() == "tpu" or force_interpret():
                 # Column-packed int4 layout halves the decode kernel's MXU
                 # work (ops/pallas_qmm.py). No-op for bf16/int8 weights.
                 params = T.colpack_layer_params(params)
-                if os.environ.get("CCT_TILED_HEAD", "0") == "1":
+                if tiled_head_enabled():
                     params = T.tile_output_head(params)
 
     tp_ctx = None
