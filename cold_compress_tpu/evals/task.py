@@ -758,8 +758,131 @@ class RulerCWE(_RulerBase):
         return {"input": task_input, "outputs": sorted(common)}
 
 
+# --------------------------------------------------------------------------
+# Local offline tasks: real metrics without network access
+# --------------------------------------------------------------------------
+#
+# The HF-backed tasks cannot download their corpora in this environment, so
+# these two tasks draw from the deterministic HELD-OUT bucket of the local
+# text corpus (utils/local_corpus.py) — the same split whose train bucket
+# produced the TinyByteLM fixture (scripts/train_tiny.py). They give the
+# eval pipeline (convert -> quantize -> eval.py -> metrics) honest,
+# non-degenerate numbers from trained weights: LocalText is the PG19
+# analogue (teacher-forced perplexity), LocalCode the RepoBench analogue
+# (next-line completion scored by ExactMatch/Levenshtein).
+
+
+class LocalText(EvaluationTask):
+    """Teacher-forced perplexity over held-out local text (PG19 analogue;
+    reference: task.py:557-604)."""
+
+    DEFAULT_PROMPT_TEMPLATE = "{story_start}"
+    requires_perplexity = True
+
+    def __init__(self, prompt_template=DEFAULT_PROMPT_TEMPLATE, **kwargs):
+        max_tokens = kwargs.pop("seq_length", None) or 1024
+        self.prompt_chars = kwargs.pop("prompt_chars", 512)
+        super().__init__(
+            prompt_template, max_tokens=max_tokens,
+            hf_args=["__local_text__"], **kwargs,
+        )
+        self.train_split = None
+        self.validation_split = None
+
+    def _download(self):
+        self._raw = self.synthesize()
+
+    def synthesize(self):
+        from ..utils.local_corpus import held_out_texts
+
+        rows = []
+        for text in held_out_texts(max_files=64):
+            if len(text) < self.prompt_chars * 4:
+                continue
+            rows.append({"text": text})
+        return {"test": rows}
+
+    def prepare_row(self, row):
+        text = row["text"]
+        start = text[: self.prompt_chars]
+        # Continuation capped near the model context (byte tokenizer:
+        # chars ~ tokens).
+        end = text[self.prompt_chars : self.prompt_chars + self.max_tokens * 4]
+        return {
+            "context": start,
+            "question": "Continue the text.",
+            "prompt": self.prompt_template.format(story_start=start),
+            "labels": [end],
+        }
+
+
+class LocalCode(EvaluationTask):
+    """Next-line code completion over held-out local Python files
+    (RepoBench analogue; reference: task.py:726-757)."""
+
+    DEFAULT_PROMPT_TEMPLATE = (
+        "# Predict the next line of this Python file.\n\n{code}"
+    )
+    n_rows = 64
+
+    def __init__(self, prompt_template=DEFAULT_PROMPT_TEMPLATE,
+                 max_tokens=96, **kwargs):
+        # Byte-tokenizer models: chars == tokens, so the window plus the
+        # generation budget must fit the model context (2048 for TinyByteLM).
+        self.window_chars = kwargs.pop("window_chars", 1536)
+        super().__init__(
+            prompt_template, max_tokens, hf_args=["__local_code__"], **kwargs
+        )
+        self.train_split = None
+        self.validation_split = None
+        self.metrics = {
+            "ExactMatch": AutoMetric.from_name("exact_match"),
+            "Levenshtein": AutoMetric.from_name("levenshtein"),
+        }
+
+    def _download(self):
+        self._raw = self.synthesize()
+
+    def synthesize(self):
+        from ..utils.local_corpus import held_out_texts
+
+        rng = random.Random(977)
+        rows = []
+        texts = [
+            t for t in held_out_texts(max_files=96)
+            if len(t) > self.window_chars * 2 and "def " in t
+        ]
+        while len(rows) < self.n_rows and texts:
+            text = texts[len(rows) % len(texts)]
+            start = rng.randrange(0, len(text) - self.window_chars - 256)
+            window = text[start : start + self.window_chars]
+            # Cut at a line boundary; the label is the next non-trivial line.
+            cut = window.rfind("\n")
+            if cut < self.window_chars // 2:
+                continue
+            prompt_code = window[:cut]
+            rest = window[cut + 1 :].split("\n")
+            label = next(
+                (ln for ln in rest if len(ln.strip()) > 4), None
+            )
+            if label is None:
+                continue
+            rows.append({"code": prompt_code, "next_line": label})
+        return {"test": rows}
+
+    def prepare_row(self, row):
+        return {
+            "context": row["code"],
+            "question": "What is the next line?",
+            "prompt": self.prompt_template.format(code=row["code"]),
+            "labels": [row["next_line"]],
+        }
+
+
 TASK_MAPPING = {
     "dolomites": Dolomites,
+    "localtext": LocalText,
+    "localcode": LocalCode,
     "musique": Musique,
     "pg19": PG19,
     "qmsum": QMSum,

@@ -192,6 +192,22 @@ MODEL_CONFIGS = {
         norm_eps=1e-6,
         max_length=32768,
     ),
+    # Trained tiny fixture: a ~5M-param byte-level LM trained offline on
+    # local text (scripts/train_tiny.py) so the converter→quantize→eval
+    # pipeline can produce REAL task metrics without network access. The
+    # "byte" in the name routes get_tokenizer to the ByteTokenizer.
+    "TinyByteLM": dict(
+        block_size=2048,
+        n_layer=6,
+        n_head=4,
+        n_kv_head=2,
+        dim=256,
+        intermediate_size=768,
+        vocab_size=512,
+        rope_base=10000.0,
+        norm_eps=1e-5,
+        max_length=2048,
+    ),
     # Tiny fixtures for tests / CI (TPU build's own test strategy; the
     # reference has none, SURVEY.md §4).
     "TestTiny": dict(

@@ -80,10 +80,21 @@ def _compiler_params(min_vmem_bytes: int = 0):
     return None
 
 
-def _stream_vmem_bytes(S: int, block_bytes: int) -> int:
-    """Scoped-vmem floor for S concurrent double-buffered weight streams:
-    2 blocks in flight per stream plus ~4 MB for activations/outputs."""
-    return 2 * S * block_bytes + 4 * 1024 * 1024
+def _stream_vmem_bytes(S: int, block_bytes: int, side_bytes: int = 0,
+                       fixed_bytes: int = 0) -> int:
+    """Scoped-vmem floor for S concurrent double-buffered weight streams.
+
+    Each stream keeps 2 blocks in flight (weight block + its per-stream
+    side operands: scale/zero blocks and the output block, which are all
+    block-indexed and therefore double-buffered too). ``fixed_bytes``
+    covers constant-index operands (the block-diagonal activations), which
+    scale with the tile size under a CCT_QMM_TILE override and so cannot
+    hide in a flat pad. A 4 MB pad absorbs Mosaic scratch."""
+    return (
+        2 * S * (block_bytes + side_bytes)
+        + fixed_bytes
+        + 4 * 1024 * 1024
+    )
 
 
 def _pick_tile_out(INh: int, OUT: int) -> int:
@@ -482,7 +493,17 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
                 for _ in range(S)
             ],
             compiler_params=_compiler_params(
-                _stream_vmem_bytes(S, IN * TOh)
+                _stream_vmem_bytes(
+                    S,
+                    IN * TOh,
+                    # per-stream block-indexed sides: s + z blocks
+                    # [1, 2, ngf, TOh] and the [2, L, TOh] f32 output.
+                    side_bytes=(
+                        2 * (2 * ngf * TOh) * s_stack.dtype.itemsize
+                        + 2 * L * TOh * 4
+                    ),
+                    fixed_bytes=xbd.size + xs.size * 4,
+                )
             ),
             interpret=interpret,
             cost_estimate=cost,
@@ -740,7 +761,14 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
                 for _ in range(S)
             ],
             compiler_params=_compiler_params(
-                _stream_vmem_bytes(S, IN * TO)
+                _stream_vmem_bytes(
+                    S,
+                    IN * TO,
+                    # per-stream sides: [1, 1, TO] f32 scales + [L, TO]
+                    # f32 output block.
+                    side_bytes=TO * 4 + L * TO * 4,
+                    fixed_bytes=L * IN,
+                )
             ),
             interpret=interpret,
             cost_estimate=cost,

@@ -26,8 +26,13 @@ def quantize(
     calibration_limit: int = 10,
     calibration_seq_length: int = 512,
     model_name=None,
-    head_bits: int = 8,
+    head_bits: int | None = None,
 ) -> None:
+    # Default the vocab head to the body's bit width — the reference int4
+    # path quantizes ALL Linears including the head (reference
+    # quantize.py:437-455), and bench.py's headline config is an int4 head.
+    if head_bits is None:
+        head_bits = 4 if mode.startswith("int4") else 8
     t0 = time.time()
     cfg, params, rope = load_model(checkpoint_path, model_name=model_name)
     print(f"Loaded model in {time.time() - t0:.02f}s")
@@ -98,9 +103,11 @@ if __name__ == "__main__":
     )
     parser.add_argument("--groupsize", type=int, default=128)
     parser.add_argument(
-        "--head_bits", type=int, default=8, choices=[8, 4],
-        help="Vocab-head weight bits (int8 default; 4 halves the decode "
-        "head byte stream via the tiled colpack kernel).",
+        "--head_bits", type=int, default=None, choices=[8, 4],
+        help="Vocab-head weight bits. Default matches --mode (int4 modes "
+        "quantize the head to 4 bits like the reference; int8 keeps an "
+        "int8 head). 4 halves the decode head byte stream via the tiled "
+        "colpack kernel.",
     )
     parser.add_argument("--calibration_limit", type=int, default=10)
     parser.add_argument("--calibration_seq_length", type=int, default=512)

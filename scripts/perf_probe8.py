@@ -78,14 +78,20 @@ def _kernel2(idx_ref, x_ref, wa_ref, wb_ref, oa_ref, ob_ref, *, variant):
         o_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("variant", "fat"))
-def qmm_probe(x, w_tiled, layer_idx, variant="cp2", fat=False):
+@functools.partial(jax.jit, static_argnames=("variant", "fat", "par"))
+def qmm_probe(x, w_tiled, layer_idx, variant="cp2", fat=False, par=False):
     Lx, IN = x.shape
     xq = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
     xq = jax.lax.optimization_barrier(xq)
-    params = (
-        pltpu.CompilerParams(vmem_limit_bytes=VMEM_FAT) if fat else None
-    )
+    # par: mark the tile grid megacore-parallel — v5e has 2 cores and a
+    # sequential ("arbitrary") grid runs on ONE of them; output tiles are
+    # independent so the split is legal.
+    kw = {}
+    if fat:
+        kw["vmem_limit_bytes"] = VMEM_FAT
+    if par:
+        kw["dimension_semantics"] = ("parallel",)
+    params = pltpu.CompilerParams(**kw) if kw else None
     if variant in ("dma2", "cp2x2", "onedot2"):
         # Split tiles into two independent streams (even/odd halves).
         NLx, T, _, TO = w_tiled.shape
@@ -146,8 +152,8 @@ def build(fat):
     for IN, OUTc in SHAPES:
         TO = pick_tile(IN, OUTc, budget)
         T = OUTc // TO
-        w = rng.integers(-128, 128, (NL, T, IN, TO), dtype=np.int64)
-        out.append(jnp.asarray(w.astype(np.int8)))
+        w = rng.integers(-128, 128, (NL, T, IN, TO), dtype=np.int8)
+        out.append(jnp.asarray(w))
         print(f"  shape ({IN},{OUTc}): TO={TO} T={T} "
               f"block={IN*TO/1e6:.2f}MB", flush=True)
     return out
@@ -159,9 +165,12 @@ def main():
                     choices=["dma", "onedot", "cp2",
                              "dma2", "onedot2", "cp2x2"])
     ap.add_argument("--fat", action="store_true")
+    ap.add_argument("--parallel", action="store_true",
+                    help="dimension_semantics=('parallel',): split the "
+                    "tile grid across the v5e's 2 megacores")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}  variant={args.variant} "
-          f"fat={args.fat}", flush=True)
+          f"fat={args.fat} parallel={args.parallel}", flush=True)
     stacks = build(args.fat)
     Lp = 8
 
@@ -170,7 +179,7 @@ def main():
             h = x
             for w, (IN, OUTc) in zip(ws, SHAPES):
                 y = qmm_probe(h[:, :IN], w, i % NL, variant=args.variant,
-                              fat=args.fat)
+                              fat=args.fat, par=args.parallel)
                 h = h + jnp.pad(
                     y[:, : min(D, y.shape[1])].astype(jnp.bfloat16),
                     ((0, 0), (0, h.shape[1] - min(D, y.shape[1]))),

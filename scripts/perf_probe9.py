@@ -175,8 +175,8 @@ def build():
     out = []
     for p, (IN, OUTc) in enumerate(SHAPES):
         TO, T = TILES[p], TCOUNTS[p]
-        w = rng.integers(-128, 128, (NL, T, IN, TO), dtype=np.int64)
-        out.append(jnp.asarray(w.astype(np.int8)))
+        w = rng.integers(-128, 128, (NL, T, IN, TO), dtype=np.int8)
+        out.append(jnp.asarray(w))
         print(f"  shape ({IN},{OUTc}): TO={TO} T={T} "
               f"block={IN*TO/1e6:.2f}MB", flush=True)
     print(f"  mega grid: {GRID} steps, phase starts {STARTS}", flush=True)

@@ -124,8 +124,12 @@ class TestRulerSynthesis:
 
 
 def test_task_registry_complete():
-    # Reference parity: the 13-task zoo (reference: task.py:758-772).
+    # Reference parity: the 13-task zoo (reference: task.py:758-772), plus
+    # the two offline local-corpus tasks (TPU-build addition: real metrics
+    # from the trained TinyByteLM fixture without network access).
     assert set(TASK_MAPPING) == {
+        "localtext",
+        "localcode",
         "dolomites",
         "musique",
         "pg19",
