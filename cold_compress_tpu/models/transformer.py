@@ -701,7 +701,14 @@ def colpack_layer_params(params: Params) -> Params:
             and leaf.kind == "int4"
             and leaf.layout == "rowpack"
         ):
-            return to_colpack(leaf)
+            cp = to_colpack(leaf)
+            from ..ops.pallas_qmm import cpt_enabled
+
+            if cpt_enabled():
+                from ..ops.linear import to_cpt
+
+                return to_cpt(cp)
+            return cp
         return leaf
 
     layers = params["layers"]

@@ -145,6 +145,45 @@ def to_colpack(w_leaf: QuantizedWeight) -> QuantizedWeight:
     )
 
 
+def to_cpt(w_leaf: QuantizedWeight, tile_out: int | None = None) -> QuantizedWeight:
+    """Repack a colpack int4 leaf into the cpt decode layout: contiguous
+    weight tiles + ONE fused metadata sidecar per tile.
+
+      w:      [NL, IN, OUTh]            -> [NL, T, IN, TOh]  (contiguous)
+      scales: [NL, 2, ngf, OUTh] (+z)   -> meta [NL, T, 4*ngf, TOh] with
+              plane rows (s_lo | s_hi | z_lo - 8 s_lo | z_hi), scale dtype.
+
+    Flat blocks are strided HBM reads that stream ~25% below the contiguous
+    tiles (r3 probe batch), and the fused sidecar replaces two block-indexed
+    DMA streams plus a per-step VPU zero-term recompute with one stream of
+    setup-time constants. Accepts single-layer leaves ([IN, OUTh]) too.
+    """
+    assert w_leaf.kind == "int4" and w_leaf.layout == "colpack"
+    w, s, z = w_leaf.w, w_leaf.scales, w_leaf.zeros
+    single = w.ndim == 2
+    if single:
+        w, s, z = w[None], s[None], z[None]
+    NL, IN, OUTh = w.shape
+    ngf = s.shape[2]
+    from .pallas_qmm import _pick_tile_out_cp
+
+    TOh = tile_out or _pick_tile_out_cp(IN, OUTh)
+    assert OUTh % TOh == 0, (OUTh, TOh)
+    T = OUTh // TOh
+    wt = w.reshape(NL, IN, T, TOh).transpose(0, 2, 1, 3)
+    sf = s.astype(jnp.float32)
+    zf = z.astype(jnp.float32)
+    meta = jnp.concatenate(
+        [sf[:, 0], sf[:, 1], zf[:, 0] - 8.0 * sf[:, 0], zf[:, 1]], axis=1
+    ).astype(s.dtype)  # [NL, 4*ngf, OUTh]
+    mt = meta.reshape(NL, 4 * ngf, T, TOh).transpose(0, 2, 1, 3)
+    if single:
+        wt, mt = wt[0], mt[0]
+    return dataclasses.replace(
+        w_leaf, w=wt, scales=mt, zeros=None, layout="cpt"
+    )
+
+
 def to_tiled_int8(
     w_leaf: QuantizedWeight, tile_out: int = 512
 ) -> QuantizedWeight:
@@ -202,6 +241,27 @@ def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize a quantized weight leaf as a dense [in, out] array."""
     if not is_quantized(w_leaf):
         return w_leaf.astype(dtype)
+    if w_leaf.kind == "int4" and w_leaf.layout == "cpt":
+        T, IN, TOh = w_leaf.w.shape
+        ngf = w_leaf.scales.shape[1] // 4
+        m = (
+            w_leaf.scales.transpose(1, 0, 2)
+            .reshape(4, ngf, T * TOh)
+            .astype(jnp.float32)
+        )
+        s = jnp.stack([m[0], m[1]])
+        z = jnp.stack([m[2] + 8.0 * m[0], m[3]])
+        flat = dataclasses.replace(
+            w_leaf,
+            w=w_leaf.w.transpose(1, 0, 2).reshape(IN, T * TOh),
+            # f32 (not recast to bf16): z = zt + 8s must round exactly once
+            # so this fallback matches the kernel's zt-based math.
+            scales=s,
+            zeros=z,
+            layout="colpack",
+        )
+        out = dequantize_weight(flat, dtype)
+        return out[:, : w_leaf.out_true] if w_leaf.out_true else out
     if w_leaf.kind == "int4" and w_leaf.layout == "colpack_tiled":
         T, IN, TOh = w_leaf.w.shape
         flat = dataclasses.replace(
@@ -294,10 +354,12 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             force_interpret,
             qmm_w4a8,
             qmm_w4a8_cp_stacked,
+            qmm_w4a8_cpt,
             qmm_w4a8_prefill,
             qmm_w4a8_stacked,
             qmm_w8a8_tiled,
             w4a8_cp_supported,
+            w4a8_cpt2_supported,
             w4a8_cpt_supported,
             w4a8_prefill_supported,
             w4a8_supported,
@@ -333,6 +395,28 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
         ):
             y = qmm_w8a8_tiled(x2, w_leaf.w, w_leaf.scales, interpret=interp)
             y = y[:, : w_leaf.out_true]
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "cpt"
+            and w4a8_cpt2_supported(x2.shape, w_leaf)
+        ):
+            # cpt layout: contiguous weight tiles + one fused metadata
+            # sidecar stream (see to_cpt / ops/pallas_qmm.py qmm_w4a8_cpt).
+            w_, m_ = w_leaf.w, w_leaf.scales
+            idx = w_leaf.idx
+            if idx is None:  # single leaf (vocab head): unit stack axis
+                w_, m_ = w_[None], m_[None]
+                idx = 0
+            y = qmm_w4a8_cpt(
+                x2, w_, m_, idx, group_size=w_leaf.group_size,
+                interpret=interp,
+            )
+            if w_leaf.out_true:
+                y = y[:, : w_leaf.out_true]
             y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
             if bias is not None:
                 y = y + bias.astype(y.dtype)

@@ -549,6 +549,220 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
 
 
 # --------------------------------------------------------------------------
+# v4 "cpt": tile-major colpack blocks + one fused metadata stream
+# --------------------------------------------------------------------------
+#
+# Two measured inefficiencies of the v3 stacked path (r3 probe batch,
+# results/tpu_batch_r3/):
+#   1. Flat [NL, IN, OUTh] weight blocks are STRIDED in HBM (each grid step
+#      reads IN rows of TOh bytes with stride OUTh) — the r3 probes stream
+#      contiguous [NL, T, IN, TOh] tiles at 573-632 GB/s while the production
+#      kernel plateaus at ~430-470.
+#   2. Scales and zeros ride two extra block-indexed DMA streams, and the
+#      zero-point terms (z_lo - 8 s_lo) are recomputed on the VPU every step.
+# The cpt layout fixes both at setup time (ops/linear.py to_cpt): weights
+# become contiguous [NL, T, IN, TOh] tiles and the per-tile metadata is ONE
+# fused [NL, T, 4*ngf, TOh] sidecar whose planes are (s_lo, s_hi,
+# zt_lo = z_lo - 8 s_lo, zt_hi = z_hi), in the checkpoint's scale dtype.
+
+
+def _cpt_tile_body(xbd_ref, xs_ref, w_ref, m_ref, o_ref, *, group_size,
+                   n_groups, groups_per_chunk, rows_l):
+    """Column-packed dual-dot for one contiguous [IN, TOh] tile with the
+    fused metadata sidecar. Writes o_ref [2, L, TOh] (plane 0 = low-half
+    columns) exactly like _cp_tile_body."""
+    ngf, ngc, L = n_groups, groups_per_chunk, rows_l
+    gs = group_size
+    TOh = w_ref.shape[-1]
+    n_chunks = -(-ngf // ngc)
+
+    acc_lo = jnp.zeros((L, TOh), jnp.float32)
+    acc_hi = jnp.zeros((L, TOh), jnp.float32)
+    for c in range(n_chunks):
+        g0 = c * ngc
+        ng = min(ngc, ngf - g0)
+        rows = ng * L
+        xbd = xbd_ref[pl.ds(g0 * L, rows), : ng * gs]
+        b = w_ref[0, 0, pl.ds(g0 * gs, ng * gs), :]
+        lo = b & 0xF
+        d1 = jnp.dot(xbd, b, preferred_element_type=jnp.int32)
+        d2 = jnp.dot(xbd, lo, preferred_element_type=jnp.int32)
+        s_lo = m_ref[0, 0, pl.ds(g0, ng), :].astype(jnp.float32)
+        s_hi = m_ref[0, 0, pl.ds(ngf + g0, ng), :].astype(jnp.float32)
+        xl = d2.astype(jnp.float32).reshape(ng, L, TOh)
+        xh = ((d1 - d2).astype(jnp.float32) * 0.0625).reshape(ng, L, TOh)
+        acc_lo += jnp.sum(xl * s_lo[:, None, :], axis=0)
+        acc_hi += jnp.sum(xh * s_hi[:, None, :], axis=0)
+
+    # Zero-point terms: precomputed at repack, one f32 dot per half.
+    xs = xs_ref[...]
+    zt_lo = m_ref[0, 0, pl.ds(2 * ngf, ngf), :].astype(jnp.float32)
+    zt_hi = m_ref[0, 0, pl.ds(3 * ngf, ngf), :].astype(jnp.float32)
+    o_ref[0] = acc_lo + jnp.dot(xs, zt_lo)
+    o_ref[1] = acc_hi + jnp.dot(xs, zt_hi)
+
+
+def _cpt_kernel(idx_ref, xbd_ref, xs_ref, w_ref, m_ref, o_ref, *,
+                group_size, n_groups, groups_per_chunk, rows_l):
+    _cpt_tile_body(
+        xbd_ref, xs_ref, w_ref, m_ref, o_ref, group_size=group_size,
+        n_groups=n_groups, groups_per_chunk=groups_per_chunk, rows_l=rows_l,
+    )
+
+
+def _cpt_kernel_ms(idx_ref, xbd_ref, xs_ref, *refs, group_size, n_groups,
+                   groups_per_chunk, rows_l, streams):
+    """Multi-stream: ``streams`` (w, m) input pairs then ``streams``
+    outputs — each pair's blocks ride their own DMA pipeline."""
+    S = streams
+    for i in range(S):
+        _cpt_tile_body(
+            xbd_ref, xs_ref, refs[2 * i], refs[2 * i + 1], refs[2 * S + i],
+            group_size=group_size, n_groups=n_groups,
+            groups_per_chunk=groups_per_chunk, rows_l=rows_l,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def qmm_w4a8_cpt(x, w_tiles, meta, layer_idx, group_size: int = 128,
+                 interpret: bool = False):
+    """x [L, IN] @ layer ``layer_idx`` of cpt-layout int4 stacks.
+
+    w_tiles [NL, T, IN, TOh] int8 colpack bytes, contiguous per (layer,
+    tile); meta [NL, T, 4*ngf, TOh] fused sidecar (see module comment).
+    Returns [L, 2*T*TOh] f32 with low-half columns first.
+    """
+    true_L = x.shape[0]
+    if true_L > 1:
+        x, _ = _pad_rows(x)
+    L, IN = x.shape
+    NL, T, _, TOh = w_tiles.shape
+    OUTh = T * TOh
+    gs = group_size
+    ngf = IN // gs
+    ngc = max(1, min(ngf, 128 // L, 4096 // gs))
+    CH = ngc * gs
+
+    xq, sx = _quantize_rows(x)
+    xs = jnp.sum(
+        xq.reshape(L, ngf, gs).astype(jnp.float32), axis=-1
+    )  # [L, ngf]
+    onehot = (
+        (jnp.arange(ngf)[:, None] % ngc) == jnp.arange(ngc)[None, :]
+    ).astype(jnp.int8)
+    xt = xq.reshape(L, ngf, gs).transpose(1, 0, 2)
+    xbd = (onehot[:, None, :, None] * xt[:, :, None, :]).reshape(
+        ngf * L, CH
+    )
+
+    S = _STREAMS if (_STREAMS > 1 and T % _STREAMS == 0) else 1
+    cost = pl.CostEstimate(
+        flops=2 * L * IN * OUTh * 2,
+        bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+        transcendentals=0,
+    )
+    idx_arg = jnp.asarray([layer_idx], jnp.int32)
+    kern_kw = dict(
+        group_size=gs, n_groups=ngf, groups_per_chunk=ngc, rows_l=L,
+    )
+    base_specs = [
+        pl.BlockSpec((ngf * L, CH), lambda j, idx: (0, 0)),
+        pl.BlockSpec((L, ngf), lambda j, idx: (0, 0)),
+    ]
+
+    if S > 1:
+        Ts = T // S
+        in_specs = list(base_specs)
+        operands = []
+        for i in range(S):
+            off = i * Ts
+            in_specs += [
+                pl.BlockSpec(
+                    (1, 1, IN, TOh),
+                    lambda j, idx, off=off: (idx[0], j + off, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 4 * ngf, TOh),
+                    lambda j, idx, off=off: (idx[0], j + off, 0, 0),
+                ),
+            ]
+            operands += [w_tiles, meta]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Ts,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j))
+                for _ in range(S)
+            ],
+        )
+        parts = pl.pallas_call(
+            functools.partial(_cpt_kernel_ms, streams=S, **kern_kw),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((2, L, Ts * TOh), jnp.float32)
+                for _ in range(S)
+            ],
+            compiler_params=_compiler_params(
+                _stream_vmem_bytes(
+                    S,
+                    IN * TOh,
+                    side_bytes=(
+                        4 * ngf * TOh * meta.dtype.itemsize
+                        + 2 * L * TOh * 4
+                    ),
+                    fixed_bytes=xbd.size + xs.size * 4,
+                )
+            ),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(idx_arg, xbd, xs, *operands)
+        y = jnp.concatenate(parts, axis=-1)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=base_specs
+            + [
+                pl.BlockSpec(
+                    (1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 4 * ngf, TOh), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j)),
+        )
+        y = pl.pallas_call(
+            functools.partial(_cpt_kernel, **kern_kw),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(idx_arg, xbd, xs, w_tiles, meta)
+    # [2, L, OUTh] -> [L, OUT] with low-half columns first.
+    y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+    return (y * sx)[:true_L]
+
+
+def w4a8_cpt2_supported(x_2d_shape, w_leaf) -> bool:
+    """Gate for the cpt kernel (leaf layout == 'cpt', w [NL, T, IN, TOh])."""
+    if not backend_ok():
+        return False
+    L, IN = x_2d_shape
+    TOh = w_leaf.w.shape[-1]
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and L <= 32
+        and IN % 256 == 0
+        and TOh % 128 == 0
+        and IN % gs == 0
+    )
+
+
+# --------------------------------------------------------------------------
 # W4A8 prefill matmul (large-M tiles on the int8 MXU)
 # --------------------------------------------------------------------------
 #
@@ -794,6 +1008,15 @@ def qmm_w8a8_tiled(x, w_tiled, s_tiled, interpret: bool = False):
         cost_estimate=cost,
     )(xq, w_tiled, s_tiled)
     return (y * sx)[:true_L]
+
+
+def cpt_enabled() -> bool:
+    """cpt decode layout for the layer stacks (contiguous weight tiles +
+    fused metadata sidecar; see qmm_w4a8_cpt). Default ON: measured
+    92.0/92.4 tok/s vs 89.8 flat-colpack on hardware (r3 batch,
+    results/tpu_batch_r3/), token parity via tests/test_gates_e2e.py.
+    CCT_QMM_CPT=0 restores the flat v3 layout."""
+    return os.environ.get("CCT_QMM_CPT", "1") == "1"
 
 
 def tiled_head_enabled() -> bool:

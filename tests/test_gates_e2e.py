@@ -38,6 +38,7 @@ ALL_GATES = (
     "CCT_FUSED_EVICT",
     "CCT_TILED_HEAD",
     "CCT_PREFILL_W4A8",
+    "CCT_QMM_CPT",
 )
 
 PROMPT = np.random.RandomState(0).randint(2, 500, size=300).tolist()
@@ -139,6 +140,30 @@ def test_int4_decode_kernels_match_dequant(kernel_model, monkeypatch,
         teacher_force=True, monkeypatch=monkeypatch,
     )
     assert s1 == s0  # teacher-forced: sequences are the forced tokens
+    np.testing.assert_allclose(e1, e0, atol=5e-2)
+    np.testing.assert_allclose(f1, f0, atol=5e-2)
+
+
+def test_int4_cpt_layout_end_to_end(kernel_model, monkeypatch):
+    """CCT_QMM_CPT=1: layer stacks repacked to contiguous weight tiles +
+    fused metadata sidecar (to_cpt / qmm_w4a8_cpt). The sidecar stores the
+    zero-point terms pre-subtracted in bf16 — one extra rounding vs the v3
+    path, far below the int4 quantization noise the tolerance tracks."""
+    cfg, params, rope = kernel_model
+    qp = quantize_params(params, mode="int4", group_size=128,
+                         output_mode="int4")
+    s0, e0, f0 = run(cfg, qp, rope, {}, teacher_force=True,
+                     monkeypatch=monkeypatch)
+    s1, e1, f1 = run(
+        cfg, qp, rope,
+        {
+            "CCT_PALLAS_INTERPRET": "1",
+            "CCT_TILED_HEAD": "1",
+            "CCT_QMM_CPT": "1",
+        },
+        teacher_force=True, monkeypatch=monkeypatch,
+    )
+    assert s1 == s0
     np.testing.assert_allclose(e1, e0, atol=5e-2)
     np.testing.assert_allclose(f1, f0, atol=5e-2)
 
