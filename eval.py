@@ -334,9 +334,15 @@ def run_task(
 
         if next_tokens is not None:
             nll = -np.log(np.maximum(np.asarray(info["emitted_probs"]), 1e-20))
+            # Labels can outrun the decode budget (model context); slots past
+            # num_generated carry no probability — trim them so the aggregate
+            # ppl reflects only teacher-forced steps that actually ran.
+            nll = nll[: int(info.get("num_generated", len(nll)))]
+            nll = nll[np.isfinite(nll)]
             for k in range(500, len(nll), 500):
                 aggregate[f"ppl@{k}"].append(float(np.exp(np.mean(nll[:k]))))
-            aggregate["ppl"].append(float(np.exp(np.mean(nll))))
+            if len(nll):
+                aggregate["ppl"].append(float(np.exp(np.mean(nll))))
 
         cache_stats = get_cache_stats(
             caches, info["prompt_length"], info["num_generated"]
