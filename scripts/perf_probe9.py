@@ -159,6 +159,11 @@ def layer_mega(x, x2, stacks, layer_idx, interpret=False):
         in_specs=in_specs,
         out_specs=out_specs,
     )
+    # All 4 operand streams' blocks are live at once (phase-clamped index
+    # maps still allocate each operand's double-buffer): ~2 * (3 * 2.1 MB
+    # + 3.67 MB) ≈ 20 MB of scoped vmem — above Mosaic's 16 MB default
+    # (the r3 batch OOM). Raise the limit explicitly.
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         _kernel_mega,
         grid_spec=grid_spec,
@@ -166,6 +171,7 @@ def layer_mega(x, x2, stacks, layer_idx, interpret=False):
             jax.ShapeDtypeStruct((Lp, OUTc), jnp.float32)
             for _, OUTc in SHAPES
         ],
+        compiler_params=params,
         interpret=interpret,
     )(jnp.asarray([layer_idx], jnp.int32), xq, x2q, *stacks)
 
@@ -218,9 +224,18 @@ def main():
             x, x2 = carry
             outs = fn(x, x2, stacks, i % NL)
             # Thread a dependency through both activations so layers
-            # serialize like the real model (cheap VPU work only).
-            x = x + outs[1][:, :D].astype(jnp.float32) * 1e-6
-            x2 = x2.at[:, :D].add(outs[3][:, :D].astype(jnp.float32) * 1e-6)
+            # serialize like the real model (cheap VPU work only). EVERY
+            # output must be consumed: an unused pallas_call result is
+            # dead code and XLA deletes the whole kernel — the r3 batch's
+            # "sep 910 GB/s" was exactly this artifact (2 of 4 streams
+            # DCE'd). Output widths are colpack-halved, so clamp.
+            w1 = min(D, outs[1].shape[1])
+            w3 = min(D, outs[3].shape[1])
+            x = x.at[:, :w1].add(outs[1][:, :w1].astype(jnp.float32) * 1e-6)
+            x = x.at[:, 0].add(
+                (jnp.sum(outs[0], axis=1) + jnp.sum(outs[2], axis=1)) * 1e-9
+            )
+            x2 = x2.at[:, :w3].add(outs[3][:, :w3].astype(jnp.float32) * 1e-6)
             return (x, x2), ()
 
         (x, x2), _ = jax.lax.scan(body, (x0, x20), jnp.arange(NL * REPEATS))
