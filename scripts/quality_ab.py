@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Quality A/B matrix on the trained TinyByteLM fixture.
+
+Runs eval.py (the real CLI surface) over the accuracy-bearing configuration
+matrix and emits one markdown table — the repo's first task metrics from
+non-random weights:
+
+  * weight precision: bf16 / int8 / int4 / int4-GPTQ   (full cache)
+  * KV-cache quantization: cache_bits 16/8/4/2          (full cache)
+  * compression: full vs heavy_hitter @ 25%             (bf16)
+
+Reference claims being checked in kind (scaled down): int8/int4 KV cache is
+near-lossless while int2 seriously degrades (reference README.md:150), and
+compression holds task quality (reference charts/llama3_performance_graphs).
+
+Usage: python scripts/quality_ab.py [--device cpu|tpu] [--num_samples 8]
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent.resolve()
+CKPT_DIR = REPO / "tests/fixtures/TinyByteLM-hf"
+
+CONFIGS = [
+    # (label, checkpoint, extra eval.py args)
+    ("bf16 full", "model.npz", []),
+    ("bf16 heavy_hitter@0.25", "model.npz",
+     ["--cache_strategy", "heavy_hitter", "--max_cache_length", "0.25",
+      "--prompt_compression_strategy", "heavy_hitter"]),
+    ("bf16 recent_global@0.25", "model.npz",
+     ["--cache_strategy", "recent_global", "--max_cache_length", "0.25",
+      "--prompt_compression_strategy", "recent_global"]),
+    ("bf16 l2@0.25", "model.npz",
+     ["--cache_strategy", "l2", "--max_cache_length", "0.25",
+      "--prompt_compression_strategy", "l2"]),
+    ("bf16 full cache_bits=8", "model.npz", ["--cache_bits", "8"]),
+    ("bf16 full cache_bits=4", "model.npz", ["--cache_bits", "4"]),
+    ("bf16 full cache_bits=2", "model.npz", ["--cache_bits", "2"]),
+    ("int8 full", "model_int8.npz", []),
+    ("int4 full", "model_int4.g64.npz", []),
+    ("int4-gptq full", "model_int4-gptq.g64.npz", []),
+]
+
+TASKS = ["localtext", "localcode"]
+
+
+def run_one(label, ckpt, extra, device, num_samples, out_root):
+    out_dir = out_root / label.replace(" ", "_").replace("@", "")
+    cmd = [
+        sys.executable, "eval.py",
+        "--checkpoint_path", str(CKPT_DIR / ckpt),
+        "--model_name", "TinyByteLM",
+        "--tasks", *TASKS,
+        "--num_samples", str(num_samples),
+        "--device", device,
+        "--out_dir", str(out_dir),
+    ] + extra
+    print(f">>> {label}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=7200)
+    if r.returncode != 0:
+        print(r.stdout[-2000:])
+        print(r.stderr[-2000:])
+        return {"error": f"rc={r.returncode}"}
+    row = {}
+    for task in TASKS:
+        mfile = out_dir / f"{task}_metrics.json"
+        if not mfile.exists():
+            row[task] = {"error": "no metrics"}
+            continue
+        m = json.loads(mfile.read_text())
+
+        def scalar(v):
+            if isinstance(v, list):
+                return sum(v) / len(v) if v else None
+            return v
+
+        if task == "localtext":
+            row["ppl"] = scalar(m.get("ppl_avg", m.get("ppl")))
+            row["compression"] = m.get("compression_ratio_avg")
+        else:
+            row["em"] = m.get("ExactMatch")
+            row["lev"] = m.get("Levenshtein")
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--num_samples", type=int, default=8)
+    ap.add_argument("--out", type=Path,
+                    default=REPO / "results" / "quality_ab")
+    args = ap.parse_args()
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    rows = {}
+    for label, ckpt, extra in CONFIGS:
+        rows[label] = run_one(label, ckpt, extra, args.device,
+                              args.num_samples, args.out)
+        print(f"    -> {rows[label]}", flush=True)
+
+    (args.out / "summary.json").write_text(json.dumps(rows, indent=2))
+    lines = [
+        "| config | localtext PPL (bytes) | localcode EM | localcode Lev |",
+        "|---|---|---|---|",
+    ]
+    for label, r in rows.items():
+        ppl = r.get("ppl")
+        lines.append(
+            f"| {label} | {ppl:.3f} |"
+            f" {r.get('em', float('nan')):.3f} |"
+            f" {r.get('lev', float('nan')):.3f} |"
+            if ppl is not None and "em" in r
+            else f"| {label} | {r} | | |"
+        )
+    table = "\n".join(lines)
+    (args.out / "summary.md").write_text(table + "\n")
+    print(table)
+
+
+if __name__ == "__main__":
+    main()
