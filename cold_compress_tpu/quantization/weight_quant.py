@@ -166,18 +166,17 @@ def random_quantized_params(
                 kind="int8",
             )
         assert mode == "int4"
+        gs = effective_group_size(in_dim, group_size)
         # Random bytes are equally random reinterpreted in the signed-hi
         # int8 packing (ops/linear.py::pack_int4).
         return QuantizedWeight(
             w=jnp.asarray(
                 rand_bytes((in_dim // 2, out_dim), np.uint8).view(np.int8)
             ),
-            scales=jnp.full(
-                (in_dim // group_size, out_dim), 0.02 / 8, jnp.bfloat16
-            ),
-            zeros=jnp.zeros((in_dim // group_size, out_dim), jnp.bfloat16),
+            scales=jnp.full((in_dim // gs, out_dim), 0.02 / 8, jnp.bfloat16),
+            zeros=jnp.zeros((in_dim // gs, out_dim), jnp.bfloat16),
             kind="int4",
-            group_size=group_size,
+            group_size=gs,
         )
 
     layers = []

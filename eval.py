@@ -427,7 +427,20 @@ def main(args, out_dir: Path):
         cfg = ModelConfig.from_name(args.random_weights)
         import jax.numpy as jnp
 
-        params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        if args.random_quantize:
+            from cold_compress_tpu.quantization.weight_quant import (
+                random_quantized_params,
+            )
+
+            params = random_quantized_params(
+                cfg,
+                mode=args.random_quantize,
+                head_mode="int4" if args.random_quantize == "int4" else "int8",
+            )
+        else:
+            params = T.init_params(
+                cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
+            )
         rope = T.make_rope_table(cfg)
         tokenizer = get_tokenizer(None, "byte")
         is_chat = False
@@ -567,6 +580,15 @@ def add_eval_args(parser):
         type=str,
         default=None,
         help="Run with a random-weight model (smoke testing).",
+    )
+    parser.add_argument(
+        "--random_quantize",
+        type=str,
+        default=None,
+        choices=["int8", "int4"],
+        help="Materialize --random_weights directly in quantized form "
+        "(an 8B bf16 init does not fit one chip's HBM; throughput and "
+        "harness behavior do not depend on weight values).",
     )
     parser.add_argument(
         "--per_prompt_buckets",
