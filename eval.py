@@ -306,10 +306,16 @@ def run_task(
         inputs = []  # the per-example loop below is skipped
 
     for i, input_ids in enumerate(inputs):
-        next_tokens = None if label_ids is None else label_ids[i]
         prompt_length = len(input_ids)
         max_new_tokens = min(task.max_tokens, max_seq_length - prompt_length)
         assert max_new_tokens > 0, f"Prompt too long: {prompt_length}"
+        # Teacher forcing follows the label length, so clip labels to the
+        # generation budget — otherwise a byte-level task (chars == tokens)
+        # can force positions past block_size / the RoPE table and the
+        # aggregate ppl is dominated by out-of-range garbage.
+        next_tokens = (
+            None if label_ids is None else label_ids[i][:max_new_tokens]
+        )
 
         seq, info, caches = generate(
             cfg,
@@ -476,7 +482,7 @@ def main(args, out_dir: Path):
     eval_tasks = {}
     for name in tasks:
         kw = dict(task_kwargs)
-        if name != "pg19":
+        if name not in ("pg19", "localtext"):
             kw.pop("seq_length", None)
         if not name.startswith("ruler"):
             kw.pop("context_sentences", None)

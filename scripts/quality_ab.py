@@ -45,6 +45,36 @@ CONFIGS = [
     ("int4-gptq full", "model_int4-gptq.g64.npz", []),
 ]
 
+# Strategy comparison with all attention spans inside the fixture's trained
+# context (SEQ=1024 in scripts/train_tiny.py): prompt 512 + labels 512.
+# The main matrix teacher-forces 1024 labels, so full-cache spans reach
+# ~1536 — length extrapolation dominates and compressed caches (spans
+# <= 512) come out *ahead* of full. In-domain, the ordering is honest:
+# compression can only lose information vs full.
+INDOMAIN_CONFIGS = [
+    ("bf16 full (1k)", "model.npz", ["--seq_length", "512"]),
+    ("bf16 heavy_hitter@0.25 (1k)", "model.npz",
+     ["--seq_length", "512",
+      "--cache_strategy", "heavy_hitter", "--max_cache_length", "0.25",
+      "--prompt_compression_strategy", "heavy_hitter"]),
+    ("bf16 heavy_hitter@0.5 (1k)", "model.npz",
+     ["--seq_length", "512",
+      "--cache_strategy", "heavy_hitter", "--max_cache_length", "0.5",
+      "--prompt_compression_strategy", "heavy_hitter"]),
+    ("bf16 recent_global@0.25 (1k)", "model.npz",
+     ["--seq_length", "512",
+      "--cache_strategy", "recent_global", "--max_cache_length", "0.25",
+      "--prompt_compression_strategy", "recent_global"]),
+    ("bf16 recent_global@0.5 (1k)", "model.npz",
+     ["--seq_length", "512",
+      "--cache_strategy", "recent_global", "--max_cache_length", "0.5",
+      "--prompt_compression_strategy", "recent_global"]),
+    ("bf16 l2@0.5 (1k)", "model.npz",
+     ["--seq_length", "512",
+      "--cache_strategy", "l2", "--max_cache_length", "0.5",
+      "--prompt_compression_strategy", "l2"]),
+]
+
 TASKS = ["localtext", "localcode"]
 
 
@@ -94,11 +124,24 @@ def main():
     ap.add_argument("--num_samples", type=int, default=8)
     ap.add_argument("--out", type=Path,
                     default=REPO / "results" / "quality_ab")
+    ap.add_argument(
+        "--matrix", default="main", choices=["main", "indomain"],
+        help="main: precision/cache-bits/strategy at the default lengths; "
+        "indomain: strategy comparison with spans inside the trained "
+        "context (see INDOMAIN_CONFIGS).",
+    )
     args = ap.parse_args()
+    global TASKS
+    if args.matrix == "indomain":
+        configs = INDOMAIN_CONFIGS
+        args.out = args.out / "indomain"
+        TASKS = ["localtext"]  # ppl is the in-domain signal
+    else:
+        configs = CONFIGS
     args.out.mkdir(parents=True, exist_ok=True)
 
     rows = {}
-    for label, ckpt, extra in CONFIGS:
+    for label, ckpt, extra in configs:
         rows[label] = run_one(label, ckpt, extra, args.device,
                               args.num_samples, args.out)
         print(f"    -> {rows[label]}", flush=True)
@@ -108,15 +151,17 @@ def main():
         "| config | localtext PPL (bytes) | localcode EM | localcode Lev |",
         "|---|---|---|---|",
     ]
+    def fmt(v):
+        return f"{v:.3f}" if isinstance(v, (int, float)) else ""
+
     for label, r in rows.items():
-        ppl = r.get("ppl")
-        lines.append(
-            f"| {label} | {ppl:.3f} |"
-            f" {r.get('em', float('nan')):.3f} |"
-            f" {r.get('lev', float('nan')):.3f} |"
-            if ppl is not None and "em" in r
-            else f"| {label} | {r} | | |"
-        )
+        if r.get("ppl") is None and "em" not in r:
+            lines.append(f"| {label} | {r} | | |")
+        else:
+            lines.append(
+                f"| {label} | {fmt(r.get('ppl'))} |"
+                f" {fmt(r.get('em'))} | {fmt(r.get('lev'))} |"
+            )
     table = "\n".join(lines)
     (args.out / "summary.md").write_text(table + "\n")
     print(table)
