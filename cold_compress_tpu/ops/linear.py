@@ -168,6 +168,11 @@ def to_cpt(w_leaf: QuantizedWeight, tile_out: int | None = None) -> QuantizedWei
     from .pallas_qmm import _pick_tile_out_cp
 
     TOh = tile_out or _pick_tile_out_cp(IN, OUTh)
+    if TOh > OUTh or OUTh % TOh:
+        # Tiny models (test fixtures): one tile spanning the whole output.
+        # The Pallas cpt kernel gate rejects lane-unaligned tiles anyway;
+        # storage and the XLA paths handle any tile width.
+        TOh = OUTh
     assert OUTh % TOh == 0, (OUTh, TOh)
     T = OUTh // TOh
     wt = w.reshape(NL, IN, T, TOh).transpose(0, 2, 1, 3)
@@ -308,6 +313,43 @@ def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
         w = (w - 8.0) * w_leaf.scales[:, None, :] + w_leaf.zeros[:, None, :]
         return w.reshape(in_dim, out_dim).astype(dtype)
     raise ValueError(f"Unknown quantized weight kind: {w_leaf.kind}")
+
+
+def matmul_cpt_xla(x2: jax.Array, w_leaf: QuantizedWeight) -> jax.Array:
+    """``x2 @ w`` for a cpt-layout int4 leaf via a tile-major batched dot.
+
+    DEAD END for prefill dispatch (measured): dequantizing tiles in their
+    native [T, IN, TOh] order avoids the packed-byte transpose, but XLA
+    then relayouts the *bf16* [2T, IN, TOh] dot operand — 4x the bytes of
+    the packed transpose it saved (hardware: prefill 6357 -> 5650 tok/s).
+    ``dequantize_weight``'s transpose-then-dequant stays the prefill path;
+    this function is kept as the reference implementation of the cpt
+    column mapping (tile t's low/high nibbles are output columns
+    [t*TOh, (t+1)*TOh) and OUT/2 + [t*TOh, (t+1)*TOh)) and for tests.
+    Numerics match dequantize_weight's colpack math exactly: f32 affine
+    per plane (w_lo = lo * s_lo + (z_lo - 8 s_lo), w_hi = hi * s_hi +
+    z_hi), cast to x.dtype, f32-accumulated dot."""
+    wt, mt = w_leaf.w, w_leaf.scales  # [T, IN, TOh], [T, 4*ngf, TOh]
+    T, IN, TOh = wt.shape
+    ngf = mt.shape[1] // 4
+    gs = w_leaf.group_size
+    p = wt.astype(jnp.int32)
+    m = mt.astype(jnp.float32)
+
+    def rows(a):  # [T, ngf, TOh] group planes -> per-row [T, IN, TOh]
+        return jnp.repeat(a, gs, axis=1)
+
+    lo = (p & 0x0F).astype(jnp.float32)
+    hi = (p >> 4).astype(jnp.float32)  # arithmetic shift: signed nibble
+    w_lo = lo * rows(m[:, :ngf]) + rows(m[:, 2 * ngf : 3 * ngf])
+    w_hi = hi * rows(m[:, ngf : 2 * ngf]) + rows(m[:, 3 * ngf :])
+    wf = jnp.concatenate([w_lo, w_hi], axis=0).astype(x2.dtype)  # [2T,IN,TOh]
+    y = jax.lax.dot_general(
+        x2, wf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [L, 2T, TOh]; columns in [lo tiles | hi tiles] order == colpack's
+    y = y.reshape(x2.shape[0], 2 * T * TOh)
+    return y[:, : w_leaf.out_true] if w_leaf.out_true else y
 
 
 def w8a8_matmul(x2: jax.Array, w_leaf: QuantizedWeight) -> jax.Array:

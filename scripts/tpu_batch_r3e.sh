@@ -31,22 +31,27 @@ run() {
   echo "--- rc=$rc" | tee -a "$SUM"
   cp "/tmp/r3batch/$name.log" /root/repo/results/tpu_batch_r3/ 2>/dev/null
   cp "$SUM" /root/repo/results/tpu_batch_r3/ 2>/dev/null
-  # Batch C aborted on a single failed ping that turned out transient
-  # (batch D ran fine minutes later) — retry once before declaring a wedge.
-  if ! ping_tpu; then
-    sleep 60
-    if ! ping_tpu; then
-      echo "!!! tunnel wedged after $name — aborting batch" | tee -a "$SUM"
-      cp "$SUM" /root/repo/results/tpu_batch_r3/ 2>/dev/null
-      exit 1
-    fi
+  # The tunnel has ~10-minute unhealthy windows that recover on their own
+  # (two batches aborted on transient wedges) — ping up to 6 times over
+  # ~20 min before declaring a real wedge.
+  ok=""
+  for attempt in 1 2 3 4 5 6; do
+    if ping_tpu; then ok=1; break; fi
+    echo "    ping $attempt failed after $name; retrying" | tee -a "$SUM"
+    sleep 120
+  done
+  if [ -z "$ok" ]; then
+    echo "!!! tunnel wedged after $name — aborting batch" | tee -a "$SUM"
+    cp "$SUM" /root/repo/results/tpu_batch_r3/ 2>/dev/null
+    exit 1
   fi
 }
 
 echo "=== BATCH E start $(date -u +%FT%TZ)" | tee -a "$SUM"
 
 # 1. Staged-kernel gate A/Bs (fixes landed after the r2 batch died).
-run bench_s2     env CCT_QMM_STREAMS=2 python -u bench.py
+#    bench_s2 measured 91.38 in the first attempt (multi-stream vmem fix
+#    compiles + runs; slightly under the 92.3 cpt default) — not repeated.
 run bench_as2    env CCT_ATTN_STREAMS=2 python -u bench.py
 run bench_head8  python -u bench.py --head_bits 8
 run parity_evict python -u scripts/parity_fused_evict.py

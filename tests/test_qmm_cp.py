@@ -120,7 +120,10 @@ def test_colpack_layer_params_generation_equivalence():
         for leaf in jax.tree.leaves(cp["layers"], is_leaf=is_quantized)
         if is_quantized(leaf) and leaf.kind == "int4"
     ]
-    assert kinds and all(k == "colpack" for k in kinds)
+    from cold_compress_tpu.ops.pallas_qmm import cpt_enabled
+
+    expected = "cpt" if cpt_enabled() else "colpack"
+    assert kinds and all(k == expected for k in kinds)
     assert run(fused) == run(cp)
 
 
@@ -149,3 +152,23 @@ def test_qmm_prefill_matches_dequant(L):
         # W4A8: activation int8 quantization adds ~1/255 per-row error on
         # top of the int4 weight error the reference comparison carries.
         assert np.abs(got - ref).max() / denom < 0.03, f"layer {i}"
+
+
+@pytest.mark.parametrize("L,tile", [(64, 128), (300, 64)])
+def test_matmul_cpt_xla_matches_dequant(L, tile):
+    """Prefill-sized XLA matmul over cpt tiles (no packed-transpose
+    round-trip) vs dequantize_weight + matmul, including a
+    non-tile-multiple row count."""
+    from cold_compress_tpu.ops.linear import matmul_cpt_xla, to_cpt
+
+    rng = np.random.RandomState(3)
+    IN, OUT = 256, 1024
+    cpt = to_cpt(to_colpack(_leaf(rng, IN, OUT, gs=64)), tile_out=tile)
+    x = jnp.asarray(rng.randn(L, IN).astype(np.float32) * 0.3).astype(
+        jnp.bfloat16
+    )
+    ref = np.asarray(
+        (x @ dequantize_weight(cpt, jnp.bfloat16)).astype(jnp.float32)
+    )
+    got = np.asarray(matmul_cpt_xla(x, cpt).astype(jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max())
