@@ -398,11 +398,13 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             qmm_w4a8_cp_stacked,
             qmm_w4a8_cpt,
             qmm_w4a8_prefill,
+            qmm_w4a8_prefill_cpt,
             qmm_w4a8_stacked,
             qmm_w8a8_tiled,
             w4a8_cp_supported,
             w4a8_cpt2_supported,
             w4a8_cpt_supported,
+            w4a8_prefill_cpt_supported,
             w4a8_prefill_supported,
             w4a8_supported,
             w8a8_tiled_supported,
@@ -410,6 +412,27 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
 
         # CPU wiring tests run the same kernels in interpret mode.
         interp = force_interpret()
+
+        if (
+            w_leaf.kind == "int4"
+            and w_leaf.layout == "cpt"
+            and w4a8_prefill_cpt_supported(x2.shape, w_leaf)
+        ):
+            w_, m_ = w_leaf.w, w_leaf.scales
+            idx = w_leaf.idx
+            if idx is None:
+                w_, m_ = w_[None], m_[None]
+                idx = 0
+            y = qmm_w4a8_prefill_cpt(
+                x2, w_, m_, idx, group_size=w_leaf.group_size,
+                interpret=interp,
+            )
+            if w_leaf.out_true:
+                y = y[:, : w_leaf.out_true]
+            y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
 
         if (
             w_leaf.kind == "int4"

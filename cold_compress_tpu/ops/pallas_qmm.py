@@ -807,6 +807,110 @@ def _w4a8_pf_kernel(idx_ref, xq_ref, xs_ref, w_ref, s_ref, z_ref, o_ref, *,
     o_ref[1] = acc_hi + jnp.dot(xs, z_all[1])
 
 
+def _w4a8_pf_kernel_cpt(idx_ref, xq_ref, xs_ref, w_ref, m_ref, o_ref, *,
+                        group_size, n_groups):
+    """Prefill W4A8 over cpt tiles: same dual-dot recovery as
+    _w4a8_pf_kernel, but the fused meta sidecar already carries the
+    precomputed zero terms (rows: s_lo | s_hi | z_lo - 8 s_lo | z_hi),
+    so the epilogue is two dots against stored constants."""
+    gs, ngf = group_size, n_groups
+    TOh = w_ref.shape[-1]
+    TM = xq_ref.shape[0]
+    acc_lo = jnp.zeros((TM, TOh), jnp.float32)
+    acc_hi = jnp.zeros((TM, TOh), jnp.float32)
+    m = m_ref[0, 0].astype(jnp.float32)  # [4*ngf, TOh]
+    for g in range(ngf):
+        xg = xq_ref[:, pl.ds(g * gs, gs)]
+        b = w_ref[0, 0, pl.ds(g * gs, gs), :]
+        lo = b & 0xF
+        d1 = jnp.dot(xg, b, preferred_element_type=jnp.int32)
+        d2 = jnp.dot(xg, lo, preferred_element_type=jnp.int32)
+        acc_lo += d2.astype(jnp.float32) * m[g][None, :]
+        acc_hi += (d1 - d2).astype(jnp.float32) * (
+            m[ngf + g] * 0.0625
+        )[None, :]
+    xs = xs_ref[...]  # [TM, ngf] group row-sums
+    o_ref[0] = acc_lo + jnp.dot(xs, m[2 * ngf : 3 * ngf])
+    o_ref[1] = acc_hi + jnp.dot(xs, m[3 * ngf :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "tile_m")
+)
+def qmm_w4a8_prefill_cpt(x, w_stack, m_stack, layer_idx,
+                         group_size: int = 128, interpret: bool = False,
+                         tile_m: int = 256):
+    """Prefill-sized x [L, IN] @ layer ``layer_idx`` of cpt int4 stacks
+    (w [NL, T, IN, TOh] + fused meta [NL, T, 4*ngf, TOh]); returns
+    [L, OUT] f32. Per-row dynamic int8 activations (W4A8)."""
+    true_L = x.shape[0]
+    x, _ = _pad_rows(x, tile_m)
+    L, IN = x.shape
+    NL, n_tiles, _, TOh = w_stack.shape
+    OUTh = n_tiles * TOh
+    gs = group_size
+    ngf = IN // gs
+
+    xq, sx = _quantize_rows(x)
+    xs = jnp.sum(xq.reshape(L, ngf, gs).astype(jnp.float32), axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # j outer so consecutive m steps reuse the fetched weight block.
+        grid=(n_tiles, L // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_m, IN), lambda j, m, idx: (m, 0)),
+            pl.BlockSpec((tile_m, ngf), lambda j, m, idx: (m, 0)),
+            pl.BlockSpec((1, 1, IN, TOh), lambda j, m, idx: (idx[0], j, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 4 * ngf, TOh), lambda j, m, idx: (idx[0], j, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, tile_m, TOh), lambda j, m, idx: (0, m, j)
+        ),
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _w4a8_pf_kernel_cpt, group_size=gs, n_groups=ngf
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * L * IN * OUTh,
+            bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray([layer_idx], jnp.int32),
+        xq, xs, w_stack, m_stack,
+    )
+    y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+    return (y * sx)[:true_L]
+
+
+def w4a8_prefill_cpt_supported(x_2d_shape, w_leaf) -> bool:
+    """CCT_PREFILL_W4A8 gate for cpt-layout stacks (the decode-default
+    layout since r3; same opt-in numerics caveat as the flat gate)."""
+    if os.environ.get("CCT_PREFILL_W4A8", "0") != "1":
+        return False
+    if not backend_ok():
+        return False
+    L, IN = x_2d_shape
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and w_leaf.layout == "cpt"
+        and w_leaf.w.ndim in (3, 4)
+        and L > 32
+        and IN % 256 == 0
+        and IN % gs == 0
+        and w_leaf.w.shape[-1] % 128 == 0
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "interpret", "tile_m")
 )

@@ -172,3 +172,28 @@ def test_matmul_cpt_xla_matches_dequant(L, tile):
     )
     got = np.asarray(matmul_cpt_xla(x, cpt).astype(jnp.float32))
     np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("L", [256, 300])
+def test_qmm_prefill_cpt_matches_dequant(L):
+    """Prefill W4A8 kernel over cpt stacks (fused meta sidecar) vs
+    dequantize + matmul."""
+    from cold_compress_tpu.ops.linear import to_cpt
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_prefill_cpt
+
+    rng = np.random.RandomState(11)
+    IN, OUT, NL = 512, 512, 2
+    leaves = [_leaf(rng, IN, OUT) for _ in range(NL)]
+    cpts = [to_cpt(to_colpack(lf), tile_out=128) for lf in leaves]
+    w = jnp.stack([c.w for c in cpts])
+    m = jnp.stack([c.scales for c in cpts])
+    x = jnp.asarray(rng.randn(L, IN).astype(np.float32) * 0.3)
+    for i, leaf in enumerate(leaves):
+        ref = np.asarray(x @ dequantize_weight(leaf, jnp.float32))
+        got = np.asarray(
+            qmm_w4a8_prefill_cpt(
+                x, w, m, jnp.int32(i), interpret=True, tile_m=128
+            )
+        )
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < 0.03, f"layer {i}"
