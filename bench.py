@@ -92,22 +92,46 @@ def main():
     rope = T.make_rope_table(cfg)
     log(f"params built in {time.time() - t0:.1f}s")
 
-    budget = args.budget_frac if args.strategy != "full" else 1.0
+    # full and hybrid are direct-fill strategies: they require the whole
+    # sequence to fit the cache (engine.cache_compatibility enforces 1.0;
+    # hybrid's compression is governed by min_recovery_frac instead).
+    budget = args.budget_frac if args.strategy not in ("full", "hybrid") else 1.0
+    cache_kwargs = {
+        "cache_strategy": [args.strategy],
+        "max_cache_length": [budget],
+        "prompt_compression_strategy": [
+            "heavy_hitter" if args.strategy == "heavy_hitter" else
+            "full" if args.strategy in ("full", "hybrid") else
+            "recent_global"
+        ],
+        "global_tokens": args.global_tokens,
+        "recent_window": 10,
+        "cache_bits": args.cache_bits,
+    }
+    token_ids = None
+    if args.strategy == "hybrid":
+        # FastGen's original menu (cache_configs/fastgen.yaml). The bench
+        # prompt is random token ids, so the special/punctuation vocab
+        # classes are synthetic but exercised: a handful of ids appear in
+        # the prompt with realistic frequency.
+        cache_kwargs["hybrid_strategies"] = [
+            {"strategy": "special"},
+            {"strategy": "special_punc"},
+            {"strategy": "special_punc_heavy_hitter",
+             "heavy_hitter_frac": 0.3},
+            {"strategy": "special_punc_heavy_hitter_window",
+             "recent_window": 0.3, "heavy_hitter_frac": 0.3},
+            {"strategy": "full"},
+        ]
+        token_ids = {
+            "special": [[1], [2]],
+            "punctuation": list(range(16, 48)),
+        }
     specs = build_cache_specs(
         cfg,
-        {
-            "cache_strategy": [args.strategy],
-            "max_cache_length": [budget],
-            "prompt_compression_strategy": [
-                "heavy_hitter"
-                if args.strategy in ("heavy_hitter", "hybrid")
-                else "recent_global"
-            ],
-            "global_tokens": args.global_tokens,
-            "recent_window": 10,
-            "cache_bits": args.cache_bits,
-        },
+        cache_kwargs,
         max_seq_length=args.context,
+        token_ids=token_ids,
     )
     caches = T.init_caches(cfg, specs, batch_size=args.batch,
                            dtype=jnp.bfloat16)
