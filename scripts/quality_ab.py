@@ -88,6 +88,9 @@ def run_one(label, ckpt, extra, device, num_samples, out_root):
         "--num_samples", str(num_samples),
         "--device", device,
         "--out_dir", str(out_dir),
+        # The driver exists to measure, not resume: without this a rerun
+        # into existing out_dirs silently reuses stale metrics.
+        "--overwrite",
     ] + extra
     print(f">>> {label}: {' '.join(cmd)}", flush=True)
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
