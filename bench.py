@@ -67,6 +67,7 @@ def main():
         args.decode_tokens = 16
         args.weight_bits = 16
 
+    from cold_compress_tpu.caches import cache_memory_gb
     from cold_compress_tpu.caches.patterns import normalize_cache_length
     from cold_compress_tpu.models import transformer as T
     from cold_compress_tpu.models.config import ModelConfig
@@ -217,6 +218,15 @@ def main():
                         perf["prefill_toks_per_sec"], 1
                     ),
                     "model_gb": round(model_bytes / 1e9, 2),
+                    "cache_memory_gb": round(
+                        sum(cache_memory_gb(c) for c in caches)
+                        if isinstance(caches, (tuple, list))
+                        else cache_memory_gb(caches),  # stacked: one state
+                        3,
+                    ),
+                    "memory_used_gb": round(
+                        perf.get("memory_used_gb", 0.0), 2
+                    ),
                     "weight_stream_gbps": round(eff_gbps, 1),
                     "backend": jax.default_backend(),
                 },
