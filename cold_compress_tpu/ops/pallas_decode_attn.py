@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -478,6 +479,15 @@ def quantized_decode_attention(
 
     if chunked is None:
         chunked = C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK
+        if chunked and os.environ.get("CCT_ATTN_ONESHOT", "0") == "1":
+            # Staged: the 4-chunk grid at C=2048 measured 73.6 us/layer
+            # (~114 GB/s effective — step-overhead-bound); one fat step
+            # fits the VMEM budget and pays the grid overhead once.
+            if (
+                2 * KVH * C * kq.shape[3] * kq.dtype.itemsize
+                <= _VMEM_KV_BUDGET
+            ):
+                chunked = False
     if chunked:
         y, pooled = _chunked_call(
             qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G, scale=scale,

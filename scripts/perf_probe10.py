@@ -99,7 +99,7 @@ def time_leg(fn, args, label):
           f"({t/NL*1e6:7.1f} us/layer)", flush=True)
 
 
-def attn_leg(bits, need_attn=True):
+def attn_leg(bits, need_attn=True, chunked=None):
     cache, spec = make_cache(bits)
     rng = np.random.default_rng(1)
     q0 = jnp.asarray(
@@ -112,7 +112,7 @@ def attn_leg(bits, need_attn=True):
                 q, cache.k, cache.v, cache.k_scales, cache.k_zeros,
                 cache.v_scales, cache.v_zeros, cache.mask,
                 bits=bits or 16, need_attn=need_attn,
-                interpret=force_interpret(),
+                interpret=force_interpret(), chunked=chunked,
             )
             q = q + y.astype(q.dtype) * jnp.bfloat16(1e-6)
             if attn is not None:
@@ -123,6 +123,8 @@ def attn_leg(bits, need_attn=True):
         return q
 
     label = f"attn{bits or 16}" + ("" if need_attn else "_na")
+    if chunked is not None:
+        label += "_c" if chunked else "_os"
     time_leg(run, (cache, q0), label)
 
 
@@ -173,6 +175,12 @@ LEGS = {
     "attn4": lambda: attn_leg(4),
     "attn8_na": lambda: attn_leg(8, need_attn=False),
     "attn16_na": lambda: attn_leg(None, need_attn=False),
+    # One-shot (chunked=False): C=2048 K+V (8.4 MB) fits the one-step
+    # VMEM budget; the 4-chunk grid measured 73.6 us/layer = 114 GB/s
+    # effective — step-overhead-bound, not byte-bound.
+    "attn16_os": lambda: attn_leg(None, chunked=False),
+    "attn8_os": lambda: attn_leg(8, chunked=False),
+    "attn4_os": lambda: attn_leg(4, chunked=False),
     "upd16": lambda: update_leg(None),
     "upd8": lambda: update_leg(8),
     "full16": lambda: update_leg(None, with_attn=True),

@@ -45,6 +45,13 @@ run() {
 
 echo "=== BATCH F start $(date -u +%FT%TZ)" | tee -a "$SUM"
 
+# 0. One-shot decode attention (batch E's p10: the 4-chunk grid runs at
+#    73.6 us/layer = ~114 GB/s effective — step-overhead-bound; one fat
+#    step fits VMEM at C=2048). Kernel A/B then end-to-end.
+run p10_oneshot  python -u scripts/perf_probe10.py --legs attn16_os,attn8_os,attn4_os,attn16,attn8
+run bench_os     env CCT_ATTN_ONESHOT=1 python -u bench.py
+run bench_os_kv8 env CCT_ATTN_ONESHOT=1 python -u bench.py --cache_bits 8
+
 # 1. Segment-wise sub-byte decode attention (commit 0f5f8a0).
 run bench_kv4    python -u bench.py --cache_bits 4
 run bench_kv8    python -u bench.py --cache_bits 8
