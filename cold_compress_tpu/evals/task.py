@@ -560,23 +560,29 @@ class _RulerBase(EvaluationTask):
         self.context_sentences = kwargs.pop(
             "context_sentences", self.context_sentences
         )
+        # Scale the synthesized haystack to the model's context so shorter
+        # models still yield usable examples instead of filtering everything
+        # out. This must run BEFORE super().__init__ (which synthesizes the
+        # rows), so it reads the tokenizer / context straight from kwargs.
+        # Tokens-per-sentence is measured on a sample of the ACTUAL filler —
+        # a fixed probe sentence under-measured it 3x and every synthesized
+        # row got length-filtered (r3 eval_8b batch).
+        import random as _random
+
+        tokenize = kwargs["tokenizer"]
+        sample = _filler_text(_random.Random(0), 16)
+        tps = max(1, len(tokenize("".join(sample))) // len(sample))
+        overhead = 8 * tps  # instructions + needles + question
+        budget = kwargs["model_max_length"] - max_tokens - overhead
+        if budget > 0:
+            # 10% headroom: sentence lengths vary, and a row that lands a
+            # few tokens over the cap is filtered outright.
+            self.context_sentences = max(
+                2, min(self.context_sentences, int(0.9 * budget) // tps)
+            )
         super().__init__(
             prompt_template, max_tokens, hf_args=self.HF_ARGS, **kwargs
         )
-        # Scale the synthesized haystack to the model's context so shorter
-        # models still yield usable examples instead of filtering everything
-        # out. Tokens-per-sentence is measured with the task's tokenizer
-        # (byte tokenizers cost ~10x a BPE).
-        probe = (
-            "The quick brown fox jumps over the lazy dog near the river. "
-        )
-        tps = max(1, len(self.tokenizer(probe)))
-        overhead = 8 * tps  # instructions + needles + question
-        budget = self.model_max_length - self.max_tokens - overhead
-        if budget > 0:
-            self.context_sentences = max(
-                2, min(self.context_sentences, budget // tps)
-            )
         self.test_split = "validation"
 
     def synthesize(self):

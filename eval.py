@@ -111,11 +111,48 @@ def args_to_str(args) -> str:
     return "__".join(sorted(parts)) + debug_suffix
 
 
+def _prepared_params(args, params_box, caches):
+    """Transform the weight tree for the stacked (scan-over-layers) path
+    ONCE per eval invocation, not once per task.
+
+    The per-task re-transform held the raw AND transformed trees alive for
+    the whole run (2x model bytes steady-state, plus transform transients)
+    — at 8B-int4 scale that exhausted the chip's HBM (r3 eval_8b batch).
+    The box caches the prepared tree and drops the raw reference, so
+    steady-state is 1x model bytes. All tasks in one invocation share
+    args, so the stacking decision and transform key are invariant."""
+    import jax
+
+    if not T.is_stacked(caches):
+        assert "raw" in params_box, (
+            "Stacking decision changed between tasks of one invocation — "
+            "the raw tree was already dropped."
+        )
+        return params_box["raw"]
+    single = args.tp == 1 and args.dp == 1
+    key = "stacked_fused" if single else "stacked"
+    if key not in params_box:
+        p = T.stack_layer_params(params_box["raw"])
+        if single:
+            p = T.fuse_layer_params(p)  # see generate.py
+            from cold_compress_tpu.ops.pallas_qmm import (
+                force_interpret,
+                tiled_head_enabled,
+            )
+            if jax.default_backend() == "tpu" or force_interpret():
+                p = T.colpack_layer_params(p)
+                if tiled_head_enabled():
+                    p = T.tile_output_head(p)
+        params_box[key] = p
+        params_box.pop("raw", None)
+    return params_box[key]
+
+
 def run_task(
     args,
     task,
     cfg: ModelConfig,
-    params,
+    params_box,
     rope,
     tokenizer,
     is_chat: bool,
@@ -181,18 +218,7 @@ def run_task(
     )
     bs = args.batch_size if use_batch else 1
     caches = T.init_caches(cfg, specs, batch_size=bs)
-    if T.is_stacked(caches):
-        params = T.stack_layer_params(params)
-        if args.tp == 1 and args.dp == 1:
-            params = T.fuse_layer_params(params)  # see generate.py
-            from cold_compress_tpu.ops.pallas_qmm import (
-                force_interpret,
-                tiled_head_enabled,
-            )
-            if jax.default_backend() == "tpu" or force_interpret():
-                params = T.colpack_layer_params(params)
-                if tiled_head_enabled():
-                    params = T.tile_output_head(params)
+    params = _prepared_params(args, params_box, caches)
     tp_ctx = None
     if args.tp > 1 and getattr(args, "tp_kernels", False):
         if args.dp > 1:
@@ -491,6 +517,8 @@ def main(args, out_dir: Path):
         except Exception as e:
             print(f"Task {name} unavailable: {e}")
 
+    params_box = {"raw": params}
+    del params  # run_task owns the tree via the box (see _prepared_params)
     task_metrics = defaultdict(dict)
     args_fn = out_dir / "args.json"
     for task_name, task in eval_tasks.items():
@@ -501,7 +529,8 @@ def main(args, out_dir: Path):
             task_metrics[task_name] = json.loads(task_out_fn.read_text())
             continue
         metrics, pred_rows, task_args = run_task(
-            args, task, cfg, params, rope, tokenizer, is_chat, terminator_ids
+            args, task, cfg, params_box, rope, tokenizer, is_chat,
+            terminator_ids,
         )
         if metrics is None:
             continue
