@@ -479,10 +479,13 @@ def quantized_decode_attention(
 
     if chunked is None:
         chunked = C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK
-        if chunked and os.environ.get("CCT_ATTN_ONESHOT", "0") == "1":
-            # Staged: the 4-chunk grid at C=2048 measured 73.6 us/layer
-            # (~114 GB/s effective — step-overhead-bound); one fat step
-            # fits the VMEM budget and pays the grid overhead once.
+        if chunked and os.environ.get("CCT_ATTN_ONESHOT", "1") == "1":
+            # Default since r3: the 4-chunk grid at C=2048 ran the decode
+            # step at 92.3 tok/s; one fat step (grid overhead paid once)
+            # measured 98.1 (bf16 cache) / 95.0 (int8 cache) on hardware
+            # (results/tpu_batch_r3/bench_os*.log). Chunking only pays
+            # when K+V exceed the one-step VMEM budget;
+            # CCT_ATTN_ONESHOT=0 forces the chunked kernel everywhere.
             if (
                 2 * KVH * C * kq.shape[3] * kq.dtype.itemsize
                 <= _VMEM_KV_BUDGET
