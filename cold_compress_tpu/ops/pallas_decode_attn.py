@@ -51,6 +51,16 @@ NEG_INF = -1e30
 _VMEM_KV_BUDGET = 10 * 2**20
 
 
+def _oneshot_budget_bytes() -> int:
+    """K+V byte budget for choosing the one-shot kernel. The chip's VMEM is
+    ~128 MB and a one-step grid holds exactly one copy of every block, so
+    one-shot stays profitable well past the conservative 10 MB chunk-path
+    bound — an explicit vmem_limit_bytes accompanies any call above
+    Mosaic's 16 MB default (the r2/r3 batches hit that limit twice).
+    CCT_ATTN_OS_BUDGET_MB overrides (0 disables one-shot entirely)."""
+    return int(os.environ.get("CCT_ATTN_OS_BUDGET_MB", "40")) * 2**20
+
+
 def _dequant(q_ref_slice, scale, zero_p, bits: int):
     """Unpack + affine-dequant a packed [C, D/packing] uint8 block to f32
     [C, D]. ``zero_p`` already absorbs the -2^(bits-1)*scale offset."""
@@ -488,7 +498,7 @@ def quantized_decode_attention(
             # CCT_ATTN_ONESHOT=0 forces the chunked kernel everywhere.
             if (
                 2 * KVH * C * kq.shape[3] * kq.dtype.itemsize
-                <= _VMEM_KV_BUDGET
+                <= _oneshot_budget_bytes()
             ):
                 chunked = False
     if chunked:
@@ -512,6 +522,18 @@ def quantized_decode_attention(
     ]
     kv_spec = pl.BlockSpec((1, KVH, C, Dp), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
+    # One step holds K+V + q + meta + the f32 probs/e outputs at once —
+    # size the scoped-vmem limit explicitly (Mosaic's 16 MB default OOMs
+    # at full-cache sizes) with slack for compiler scratch.
+    os_vmem = (
+        2 * KVH * C * Dp * kq.dtype.itemsize  # K+V blocks
+        + 2 * KVH * 8 * C * 4                 # meta in + probs out (f32)
+        + 3 * KVH * 8 * D * 4                 # q + o + scratch rows
+        + 8 * 2**20
+    )
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(os_vmem, 16 * 2**20), 100 * 2**20)
+    )
     y, pooled = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -530,6 +552,7 @@ def quantized_decode_attention(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shapes,
+        compiler_params=params,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * C * D,
@@ -564,16 +587,14 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     dp_bytes = D * (2 if bits == 16 else bits // 8 if bits == 8 else 1)
     if bits in (4, 2):
         dp_bytes = D // (8 // bits)
-    # The chunked kernel only ever holds one cache chunk in VMEM.
-    eff_c = (
-        _DECODE_CHUNK
-        if (C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK)
-        else C
-    )
-    kv_bytes = 2 * kvh * eff_c * dp_bytes
-    return (
-        L == 1
-        and C % 128 == 0
-        and D % 128 == 0
-        and kv_bytes <= _VMEM_KV_BUDGET
-    )
+    if L != 1 or C % 128 or D % 128:
+        return False
+    kv_full = 2 * kvh * C * dp_bytes
+    # Routable if the whole cache fits one one-shot step (the r3 default,
+    # raised budget + explicit vmem limit), or failing that if the cache is
+    # chunkable and a chunk fits the conservative chunk-path bound.
+    if kv_full <= max(_oneshot_budget_bytes(), _VMEM_KV_BUDGET):
+        return True
+    if C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK:
+        return 2 * kvh * _DECODE_CHUNK * dp_bytes <= _VMEM_KV_BUDGET
+    return False
