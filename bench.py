@@ -79,6 +79,12 @@ def main():
 
     cfg = ModelConfig.from_name(args.model)
     if cfg.block_size < args.context:
+        print(
+            f"[bench] context {args.context} exceeds {args.model}'s "
+            f"block_size; clamped to {cfg.block_size} (use "
+            "Meta-Llama-3.1-8B-Instruct for long contexts)",
+            file=sys.stderr,
+        )
         args.context = cfg.block_size
 
     log = print if args.verbose else (lambda *a, **k: None)
