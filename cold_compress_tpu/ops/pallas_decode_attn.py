@@ -104,21 +104,27 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
         sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
 
         if bits == 16:
-            kf = kq_ref[0, h].astype(jnp.float32)  # [C, D]
+            # Native bf16 MXU dot with f32 accumulation: q and the cache
+            # are bf16-VALUED, so upcasting the operands to f32 (the r2
+            # kernel) produced bit-identical scores through a slower
+            # multi-pass f32 MXU path.
             s = jax.lax.dot_general(
-                q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+                q, kq_ref[0, h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [8, C]
         else:
             # Segment-wise dots: dequant each packed bit-plane [C, D/per]
             # and contract it against the matching query columns — no
             # lane-doubling concat (Mosaic relayout) on the packed path.
+            # Dequant lands in bf16 so the MXU dot runs single-pass
+            # (~0.2% relative score change vs the f32-operand dot, well
+            # inside the quantization noise already accepted).
             ksegs = _dequant_segs(kq_ref[0, h], sk, zk, bits)
             Dseg = ksegs[0].shape[-1]
-            qf = q.astype(jnp.float32)
             s = sum(
                 jax.lax.dot_general(
-                    qf[:, i * Dseg : (i + 1) * Dseg], kseg,
+                    q[:, i * Dseg : (i + 1) * Dseg],
+                    kseg.astype(jnp.bfloat16),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -170,19 +176,19 @@ def _chunk_step(q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
     sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
 
     if bits == 16:
-        kf = kq_ref[0, h].astype(jnp.float32)  # [CHUNK, D]
+        # bf16 operands, f32 accumulation (see _kernel).
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), kf, (((1,), (1,)), ((), ())),
+            q, kq_ref[0, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [8, CHUNK]
     else:
         # Segment-wise dots (see _dequant_segs): no lane-doubling concat.
         ksegs = _dequant_segs(kq_ref[0, h], sk, zk, bits)
         Dseg = ksegs[0].shape[-1]
-        qf = q.astype(jnp.float32)
         s = sum(
             jax.lax.dot_general(
-                qf[:, i * Dseg : (i + 1) * Dseg], kseg,
+                q[:, i * Dseg : (i + 1) * Dseg],
+                kseg.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
