@@ -97,11 +97,67 @@ def _dequant_segs(q_ref_slice, scale, zero_p, bits: int):
 
 
 def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
-            bits, need_attn):
+            bits, need_attn, i8dot=False):
     for h in range(KVH):  # static unroll: one fat program per batch element
         q = q_ref[0, h]  # [8, D] bf16 (rows >= G are zero)
         meta = meta_ref[0, h]  # [8, C] f32
         sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+
+        if bits == 8 and i8dot:
+            # int8 MXU attention: all [C, D]-sized work is two s8xs8->s32
+            # MXU dots; the affine dequant collapses to rank-1 fixups on
+            # [8, C]. The stored byte u in [0, 255] becomes u - 128 via
+            # XOR 0x80 + bitcast (exact two's complement), so
+            # kf = i * sk + zk_raw with zk_raw carried in meta rows 5/6.
+            zk_raw, zv_raw = meta[5], meta[6]
+            qf = q.astype(jnp.float32)
+            qs = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8
+            ) * (1.0 / 127.0)  # [8, 1]
+            qq = jnp.round(qf / qs).astype(jnp.int8)
+            qsum = jnp.sum(qf, axis=-1, keepdims=True)  # [8, 1] exact
+            ki = jax.lax.bitcast_convert_type(
+                kq_ref[0, h] ^ jnp.uint8(0x80), jnp.int8
+            )  # [C, D]
+            di = jax.lax.dot_general(
+                qq, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [8, C]
+            s = (di.astype(jnp.float32) * qs * sk[None, :]
+                 + qsum * zk_raw[None, :]) * scale
+            s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            probs = e / l  # [8, C] f32
+
+            if need_attn:
+                pooled = jnp.sum(probs[:G], axis=0) * (1.0 / G)
+                p_ref[0, h] = jnp.concatenate(
+                    [pooled[None, :],
+                     jnp.zeros((7, pooled.shape[0]), jnp.float32)],
+                    axis=0,
+                )
+
+            # o = probs @ (vi * sv + zv_raw): quantize (probs * sv) rows
+            # to int8 — comparable error to the bf16 probs cast the other
+            # paths pay — and fold zv via one [8, C] @ [C] dot.
+            ep = probs * sv[None, :]
+            ps = jnp.maximum(
+                jnp.max(jnp.abs(ep), axis=-1, keepdims=True), 1e-30
+            ) * (1.0 / 127.0)
+            pq = jnp.round(ep / ps).astype(jnp.int8)
+            vi = jax.lax.bitcast_convert_type(
+                vq_ref[0, h] ^ jnp.uint8(0x80), jnp.int8
+            )
+            dv = jax.lax.dot_general(
+                pq, vi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [8, D]
+            zterm = jnp.sum(probs * zv_raw[None, :], axis=-1,
+                            keepdims=True)  # [8, 1]
+            o_ref[0, h] = dv.astype(jnp.float32) * ps + zterm
+            continue
 
         if bits == 16:
             # Native bf16 MXU dot with f32 accumulation: q and the cache
@@ -477,6 +533,7 @@ def quantized_decode_attention(
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 8 - G), (0, 0)))
     qf = qf.astype(jnp.bfloat16)
 
+    i8dot = bits == 8 and os.environ.get("CCT_ATTN_I8DOT", "0") == "1"
     maskf = mask.astype(jnp.float32)
     if bits == 16:
         zero = jnp.zeros_like(maskf)
@@ -490,8 +547,12 @@ def quantized_decode_attention(
             v_zeros - off * v_scales,
             maskf,
         ]
-    meta = jnp.stack(rows, axis=2)  # [B, KVH, 5, C]
-    meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 3), (0, 0)))
+        if i8dot:
+            # The int8-MXU kernel consumes u - 128 directly, so it needs
+            # the RAW zeros (rows 5/6) rather than the folded zero terms.
+            rows += [k_zeros, v_zeros]
+    meta = jnp.stack(rows, axis=2)  # [B, KVH, 5|7, C]
+    meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 8 - len(rows)), (0, 0)))
 
     if chunked is None:
         chunked = C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK
@@ -520,7 +581,8 @@ def quantized_decode_attention(
 
     Dp = kq.shape[3]
     kernel = functools.partial(
-        _kernel, KVH=KVH, G=G, scale=scale, bits=bits, need_attn=need_attn
+        _kernel, KVH=KVH, G=G, scale=scale, bits=bits, need_attn=need_attn,
+        i8dot=i8dot,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),

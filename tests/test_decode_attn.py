@@ -228,3 +228,33 @@ def test_multistream_chunked_matches_single(bits, need_attn, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(attn), np.asarray(ref_attn), atol=1e-6, rtol=1e-4
         )
+
+
+@pytest.mark.parametrize("need_attn", [True, False])
+def test_i8dot_matches_dequant_path(need_attn, monkeypatch):
+    """CCT_ATTN_I8DOT: int8-MXU score/value dots with rank-1 affine fixups
+    vs the dequant-and-dot kernel. Query/probability int8 quantization
+    adds ~1% relative error on top of the shared cache quantization."""
+    monkeypatch.setenv("CCT_ATTN_I8DOT", "1")
+    B, KVH, C, D, G = 1, 2, 128, 128, 4
+    H = KVH * G
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    state = _mk_state(8, B=B, KVH=KVH, C=C, D=D)
+    y1, p1 = quantized_decode_attention(
+        q, state.k, state.v, state.k_scales, state.k_zeros,
+        state.v_scales, state.v_zeros, state.mask,
+        bits=8, need_attn=need_attn, interpret=True, chunked=False,
+    )
+    monkeypatch.setenv("CCT_ATTN_I8DOT", "0")
+    y0, p0 = quantized_decode_attention(
+        q, state.k, state.v, state.k_scales, state.k_zeros,
+        state.v_scales, state.v_zeros, state.mask,
+        bits=8, need_attn=need_attn, interpret=True, chunked=False,
+    )
+    ref = np.abs(np.asarray(y0)).max() + 1e-9
+    assert np.abs(np.asarray(y1) - np.asarray(y0)).max() / ref < 0.03
+    if need_attn:
+        assert np.abs(np.asarray(p1) - np.asarray(p0)).max() < 0.02
