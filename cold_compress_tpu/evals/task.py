@@ -858,8 +858,14 @@ class LocalCode(EvaluationTask):
             t for t in held_out_texts(max_files=96)
             if len(t) > self.window_chars * 2 and "def " in t
         ]
-        while len(rows) < self.n_rows and texts:
-            text = texts[len(rows) % len(texts)]
+        # Attempts counter rotates texts on failure and bounds the loop:
+        # pathological corpora (minified/single-line files) would otherwise
+        # retry the same windows forever instead of yielding fewer rows.
+        attempts = 0
+        max_attempts = self.n_rows * 50
+        while len(rows) < self.n_rows and texts and attempts < max_attempts:
+            text = texts[attempts % len(texts)]
+            attempts += 1
             start = rng.randrange(0, len(text) - self.window_chars - 256)
             window = text[start : start + self.window_chars]
             # Cut at a line boundary; the label is the next non-trivial line.

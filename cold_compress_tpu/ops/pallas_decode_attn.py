@@ -562,7 +562,9 @@ def quantized_decode_attention(
             # measured 98.1 (bf16 cache) / 95.0 (int8 cache) on hardware
             # (results/tpu_batch_r3/bench_os*.log). Chunking only pays
             # when K+V exceed the one-step VMEM budget;
-            # CCT_ATTN_ONESHOT=0 forces the chunked kernel everywhere.
+            # CCT_ATTN_ONESHOT=0 forces the chunked kernel for every
+            # chunk-aligned cache (short / non-aligned caches still take
+            # the one-shot kernel — no chunked grid exists for them).
             if (
                 2 * KVH * C * kq.shape[3] * kq.dtype.itemsize
                 <= _oneshot_budget_bytes()
@@ -658,11 +660,20 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     if L != 1 or C % 128 or D % 128:
         return False
     kv_full = 2 * kvh * C * dp_bytes
-    # Routable if the whole cache fits one one-shot step (the r3 default,
-    # raised budget + explicit vmem limit), or failing that if the cache is
-    # chunkable and a chunk fits the conservative chunk-path bound.
-    if kv_full <= max(_oneshot_budget_bytes(), _VMEM_KV_BUDGET):
-        return True
-    if C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK:
+    # Mirror quantized_decode_attention's chunked=None routing exactly so
+    # the gate never admits a config the chosen kernel can't compile:
+    # chunk-aligned caches take the pipelined kernel unless one-shot is
+    # enabled AND the whole cache fits its budget; everything else
+    # (short or non-chunk-aligned C) takes the one-shot kernel
+    # regardless of CCT_ATTN_ONESHOT.
+    chunkable = C % _DECODE_CHUNK == 0 and C >= 2 * _DECODE_CHUNK
+    oneshot_fits = kv_full <= max(_oneshot_budget_bytes(), _VMEM_KV_BUDGET)
+    if chunkable:
+        if (
+            os.environ.get("CCT_ATTN_ONESHOT", "1") == "1"
+            and kv_full <= _oneshot_budget_bytes()
+        ):
+            return True  # routed one-shot
+        # routed chunked: one chunk's K+V must fit the chunk-path bound
         return 2 * kvh * _DECODE_CHUNK * dp_bytes <= _VMEM_KV_BUDGET
-    return False
+    return oneshot_fits

@@ -45,10 +45,18 @@ def load_split(max_mb: float = 24.0) -> Tuple[List[bytes], List[bytes]]:
             continue
         if not (256 < len(data) < 2_000_000):
             continue
-        (val if held_out(f) else train).append(data)
+        if held_out(f):
+            # Held-out files are eval material: exempt from the train
+            # budget so the cap can't starve evals of material.
+            val.append(data)
+            continue
+        # Enforce the cap BEFORE appending so the corpus cannot overshoot
+        # max_mb by up to one ~2MB file; keep scanning (a smaller later
+        # file may still fit, and held-out files must still be collected).
+        if budget - len(data) < 0:
+            continue
+        train.append(data)
         budget -= len(data)
-        if budget < 0:
-            break
     return train, val
 
 

@@ -370,7 +370,19 @@ def run_task(
             # num_generated carry no probability — trim them so the aggregate
             # ppl reflects only teacher-forced steps that actually ran.
             nll = nll[: int(info.get("num_generated", len(nll)))]
-            nll = nll[np.isfinite(nll)]
+            # Non-finite teacher-forced steps indicate a numerics bug
+            # (NaN probabilities), not data — count them loudly rather
+            # than silently filtering, so ppl can't look healthy while a
+            # kernel emits garbage.
+            n_bad = int(np.sum(~np.isfinite(nll)))
+            if n_bad:
+                print(
+                    f"WARNING: {n_bad}/{len(nll)} teacher-forced steps "
+                    "produced non-finite NLL (dropped from ppl)",
+                    file=sys.stderr,
+                )
+                aggregate["ppl_nonfinite_steps"].append(n_bad)
+                nll = nll[np.isfinite(nll)]
             for k in range(500, len(nll), 500):
                 aggregate[f"ppl@{k}"].append(float(np.exp(np.mean(nll[:k]))))
             if len(nll):
