@@ -524,19 +524,35 @@ def _strategy_base_cols(spec, s: HybridStrategy, cum_attn, special, punc,
 
 def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
                   chunk_size: int = 512):
-    """One streaming pass over the prompt attention computing, per head:
+    """ONE streaming pass over the prompt attention computing, per head:
     the query-averaged column attention (cum_attn) and each menu entry's
     recovered-attention score.
 
     Replaces the reference's materialized [S, H, P, P] mask stack
-    (cache.py:1066-1136,1160-1168) with chunked accumulation.
-    """
+    (cache.py:1066-1136,1160-1168) with chunked accumulation, and fuses
+    what used to be two QK^T sweeps (one for cum_attn, one for the
+    per-strategy recovered sums — the r3 layout) into a single sweep.
+
+    The fusion rests on a decomposition of each strategy's recovered
+    attention mass. With colsum[c] = sum_q probs[q, c] (query-validity
+    weighted) and, for each distinct window length w,
+    wcolsum_w[c] = sum_q probs[q, c] * [c in window_w(q)]:
+
+        sum_q sum_{c in base_s OR window_w(q)} probs[q, c]
+          = dot(base_s, colsum)                (static columns)
+          + sum_c wcolsum_w[c]                 (window mass)
+          - dot(base_s, wcolsum_w)             (overlap double-count)
+
+    base_s depends on cum_attn (heavy-hitter column selection), but only
+    through per-COLUMN reductions — so both colsum and the wcolsum_w
+    accumulators stream in the same chunked pass, and the per-strategy
+    scores collapse to cheap [B, KVH, P] dots afterwards. Exact same
+    math as the two-pass version (tests/test_hybrid.py asserts parity
+    against a dense reference)."""
     B, H, P, D = q.shape
     KVH = k.shape[1]
     G = H // KVH
     menu = spec.hybrid_strategies
-    S = len(menu)
-    g = spec.global_tokens
     scale = 1.0 / math.sqrt(D)
     input_pos = jnp.arange(P, dtype=jnp.int32)
 
@@ -553,9 +569,12 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
             qg, [(0, 0), (0, 0), (0, 0), (0, n_chunks * chunk - P), (0, 0)]
         )
 
-    # First pass: cum_attn (query-averaged column mass).
-    # Second use: per-strategy scores need cum_attn for heavy-hitter column
-    # selection, so run two passes (both cheap QK^T replays).
+    window_lens = [
+        max(1, int(s.recent_window * P)) if "window" in s.strategy else 0
+        for s in menu
+    ]
+    uniq_w = sorted({w for w in window_lens if w > 0})
+
     def attn_chunk(ci):
         qc = jax.lax.dynamic_slice_in_dim(qg, ci * chunk, chunk, axis=3)
         q_pos = ci * chunk + jnp.arange(chunk)
@@ -576,60 +595,52 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
         jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
     )
 
-    def pass1(carry, ci):
-        cum = carry
+    def body(carry, ci):
+        cum, wcols = carry
         pooled, q_pos = attn_chunk(ci)
         q_valid = (q_pos[None, :] < plen[:, None]).astype(jnp.float32)
         cum = cum + jnp.einsum("bkcs,bc->bks", pooled, q_valid)
-        return cum, None
+        new_w = []
+        for wi, w in enumerate(uniq_w):
+            in_window = jnp.logical_and(
+                input_pos[None, :] >= q_pos[:, None] + 1 - w,
+                input_pos[None, :] <= q_pos[:, None],
+            )  # [chunk, P]
+            new_w.append(
+                wcols[wi]
+                + jnp.einsum(
+                    "bkcs,bc->bks",
+                    jnp.where(in_window[None, None], pooled, 0.0),
+                    q_valid,
+                )
+            )
+        if uniq_w:
+            wcols = jnp.stack(new_w)
+        return (cum, wcols), None
 
-    cum, _ = jax.lax.scan(
-        pass1, jnp.zeros((B, KVH, P), jnp.float32), jnp.arange(n_chunks)
+    init = (
+        jnp.zeros((B, KVH, P), jnp.float32),
+        jnp.zeros((len(uniq_w), B, KVH, P), jnp.float32),
     )
+    (cum, wcols), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     denom = jnp.maximum(plen[:, None] - input_pos[None, :], 1).astype(
         jnp.float32
     )  # [B, P]
     cum_attn = cum / denom[:, None, :]
 
-    base_cols = [
-        _strategy_base_cols(
+    sums = []
+    for si, s in enumerate(menu):
+        base = _strategy_base_cols(
             spec, s, cum_attn, special, punc, input_pos, valid, prompt_len, P
-        )
-        for s in menu
-    ]  # S x [B,KVH,P]
-    window_lens = [
-        max(1, int(s.recent_window * P)) if "window" in s.strategy else 0
-        for s in menu
-    ]
-
-    def pass2(carry, ci):
-        sums = carry  # [S, B, KVH]
-        pooled, q_pos = attn_chunk(ci)  # [B,KVH,chunk,P]
-        q_valid = (q_pos[None, :] < plen[:, None]).astype(jnp.float32)
-        new_sums = []
-        for si in range(S):
-            m = jnp.broadcast_to(
-                base_cols[si][:, :, None, :],
-                pooled.shape,
-            )
-            w = window_lens[si]
-            if w > 0:
-                in_window = jnp.logical_and(
-                    input_pos[None, :] >= q_pos[:, None] + 1 - w,
-                    input_pos[None, :] <= q_pos[:, None],
-                )
-                m = jnp.logical_or(m, in_window[None, None])
-            per_q = jnp.sum(jnp.where(m, pooled, 0.0), axis=-1)  # [B,KVH,chunk]
-            new_sums.append(
-                sums[si] + jnp.einsum("bkc,bc->bk", per_q, q_valid)
-            )
-        return jnp.stack(new_sums), None
-
-    sums, _ = jax.lax.scan(
-        pass2, jnp.zeros((S, B, KVH), jnp.float32), jnp.arange(n_chunks)
-    )
+        ).astype(jnp.float32)  # [B,KVH,P]
+        tot = jnp.sum(base * cum, axis=-1)  # [B,KVH]
+        w = window_lens[si]
+        if w > 0:
+            wc = wcols[uniq_w.index(w)]
+            tot = tot + jnp.sum(wc, axis=-1) - jnp.sum(base * wc, axis=-1)
+        sums.append(tot)
     n_q = jnp.maximum(plen, 1).astype(jnp.float32)  # [B]
-    scores = sums / n_q[None, :, None]  # mean over valid queries
+    scores = jnp.stack(sums) / n_q[None, :, None]  # mean over valid queries
     return cum_attn, scores
 
 

@@ -234,3 +234,126 @@ class TestAnalysisCache:
         assert cls.inner_strategy.name == "l2"
         with pytest.raises(ValueError):
             get_cache_strategy("debug_bogus")
+
+
+class TestProfilePassParity:
+    """The fused one-pass profiling must match a dense reference exactly.
+
+    The dense reference materializes the full [B, KVH, P, P] probability
+    matrix and computes each strategy's recovered mass with explicit
+    per-query window masks — the direct transcription of the math the
+    reference's mask stack implements (reference: cache.py:1066-1168)."""
+
+    def _dense_reference(self, spec, q, k, valid, prompt_len, special, punc):
+        from cold_compress_tpu.caches.hybrid import (
+            NEG_INF,
+            _strategy_base_cols,
+        )
+        import math as pymath
+
+        B, H, P, D = q.shape
+        KVH = k.shape[1]
+        G = H // KVH
+        menu = spec.hybrid_strategies
+        input_pos = jnp.arange(P, dtype=jnp.int32)
+        scale = 1.0 / pymath.sqrt(D)
+
+        qg = q.reshape(B, KVH, G, P, D).astype(jnp.bfloat16)
+        scores = (
+            jnp.einsum(
+                "bkgld,bksd->bkgls", qg, k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        causal = input_pos[None, :] <= input_pos[:, None]
+        scores = jnp.where(causal[None, None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).mean(axis=2)  # [B,KVH,P,P]
+
+        plen = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+        )
+        q_valid = (input_pos[None, :] < plen[:, None]).astype(jnp.float32)
+        colsum = jnp.einsum("bkqs,bq->bks", probs, q_valid)
+        denom = jnp.maximum(plen[:, None] - input_pos[None, :], 1).astype(
+            jnp.float32
+        )
+        cum_attn = colsum / denom[:, None, :]
+
+        sums = []
+        for s in menu:
+            base = _strategy_base_cols(
+                spec, s, cum_attn, special, punc, input_pos, valid,
+                prompt_len, P,
+            )  # [B,KVH,P]
+            m = jnp.broadcast_to(base[:, :, None, :], probs.shape)
+            if "window" in s.strategy:
+                w = max(1, int(s.recent_window * P))
+                in_window = jnp.logical_and(
+                    input_pos[None, :] >= input_pos[:, None] + 1 - w,
+                    input_pos[None, :] <= input_pos[:, None],
+                )  # [q, s]
+                m = jnp.logical_or(m, in_window[None, None])
+            per_q = jnp.sum(jnp.where(m, probs, 0.0), axis=-1)  # [B,KVH,P]
+            sums.append(jnp.einsum("bkq,bq->bk", per_q, q_valid))
+        n_q = jnp.maximum(plen, 1).astype(jnp.float32)
+        return cum_attn, jnp.stack(sums) / n_q[None, :, None]
+
+    @pytest.mark.parametrize("prompt_len,P", [(96, 96), (70, 96), (40, 96)])
+    def test_one_pass_matches_dense(self, prompt_len, P):
+        from cold_compress_tpu.caches.hybrid import _profile_pass
+
+        B, KVH, G, D = 2, 2, 2, 16
+        H = KVH * G
+        menu = normalize_hybrid_strategies(
+            [
+                {"strategy": "special"},
+                {"strategy": "special_punc"},
+                {"strategy": "window", "recent_window": 0.1},
+                # A second, distinct window length exercises the
+                # multi-accumulator (uniq_w) path.
+                {
+                    "strategy": "window_heavy_hitter",
+                    "recent_window": 0.3,
+                    "heavy_hitter_frac": 0.25,
+                },
+                {
+                    "strategy": "special_punc_heavy_hitter",
+                    "heavy_hitter_frac": 0.3,
+                },
+                {"strategy": "full"},
+            ]
+        )
+        spec = CacheSpec(
+            cache_strategy="hybrid",
+            max_cache_length=P,
+            max_seq_length=P,
+            global_tokens=3,
+            hybrid_strategies=menu,
+        )
+        key = jax.random.PRNGKey(7)
+        kq, kk, ks, kp = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (B, H, P, D), jnp.float32)
+        k = jax.random.normal(kk, (B, KVH, P, D), jnp.float32)
+        valid = jnp.arange(P)[None, :] < jnp.asarray(
+            [prompt_len, max(prompt_len - 9, 1)]
+        )[:, None]
+        special = jax.random.bernoulli(ks, 0.05, (B, P)) & valid
+        punc = jax.random.bernoulli(kp, 0.15, (B, P)) & valid
+        plens = jnp.asarray([prompt_len, max(prompt_len - 9, 1)], jnp.int32)
+
+        # Chunk smaller than P so the scan actually streams (and pads:
+        # 96 is not a multiple of 40).
+        got_cum, got_scores = _profile_pass(
+            spec, q, k, valid, plens, special, punc, chunk_size=40
+        )
+        want_cum, want_scores = self._dense_reference(
+            spec, q, k, valid, plens, special, punc
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_cum), np.asarray(want_cum), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_scores), np.asarray(want_scores),
+            rtol=2e-4, atol=2e-5,
+        )
