@@ -702,12 +702,20 @@ def colpack_layer_params(params: Params) -> Params:
             and leaf.layout == "rowpack"
         ):
             cp = to_colpack(leaf)
-            from ..ops.pallas_qmm import cpt_enabled
+            from ..ops.pallas_qmm import cpt_enabled, qmm_split_streams
 
             if cpt_enabled():
-                from ..ops.linear import to_cpt
+                from ..ops.linear import to_cpt, to_cpt_split
 
-                return to_cpt(cp)
+                out = to_cpt(cp)
+                S = qmm_split_streams()
+                if (
+                    S > 1
+                    and out.w.ndim == 4
+                    and out.w.shape[1] % S == 0
+                ):
+                    out = to_cpt_split(out, S)
+                return out
             return cp
         return leaf
 

@@ -59,9 +59,14 @@ class QuantizedWeight:
         slice into elementwise/dot consumers)."""
         if self.idx is None:
             return self
-        take = lambda a: None if a is None else jax.lax.dynamic_index_in_dim(  # noqa: E731
-            a, self.idx, axis=0, keepdims=False
-        )
+        def take(a):
+            if a is None:
+                return None
+            if isinstance(a, tuple):  # cpt_split: per-stream buffers
+                return tuple(take(p) for p in a)
+            return jax.lax.dynamic_index_in_dim(
+                a, self.idx, axis=0, keepdims=False
+            )
         return dataclasses.replace(
             self, w=take(self.w), scales=take(self.scales),
             zeros=take(self.zeros), idx=None,
@@ -189,6 +194,33 @@ def to_cpt(w_leaf: QuantizedWeight, tile_out: int | None = None) -> QuantizedWei
     )
 
 
+def to_cpt_split(w_leaf: QuantizedWeight, streams: int) -> QuantizedWeight:
+    """Split a STACKED cpt leaf's tile axis into ``streams`` physically
+    separate HBM buffers (layout "cpt_split"; w/scales become tuples).
+
+    The in-buffer multi-stream kernel (CCT_QMM_STREAMS) binds ONE array to
+    S operands with offset index maps; r3's probe8 measured that this
+    same-buffer aliasing defeats DMA pipelining, and the production A/B
+    came out slightly worse. Splitting at repack time gives each stream's
+    double-buffered DMA chain its own buffer — the layout probe8 found
+    profitable. Stream i holds the contiguous tile range
+    [i*T/S, (i+1)*T/S), so outputs concatenate back in cpt column order.
+    """
+    assert w_leaf.kind == "int4" and w_leaf.layout == "cpt"
+    assert w_leaf.w.ndim == 4, "cpt_split is for stacked layer leaves"
+    NL, T, IN, TOh = w_leaf.w.shape
+    S = streams
+    assert T % S == 0, (T, S)
+    Ts = T // S
+    split = lambda a: tuple(  # noqa: E731
+        jnp.copy(a[:, i * Ts : (i + 1) * Ts]) for i in range(S)
+    )
+    return dataclasses.replace(
+        w_leaf, w=split(w_leaf.w), scales=split(w_leaf.scales),
+        layout="cpt_split",
+    )
+
+
 def to_tiled_int8(
     w_leaf: QuantizedWeight, tile_out: int = 512
 ) -> QuantizedWeight:
@@ -246,6 +278,19 @@ def dequantize_weight(w_leaf, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize a quantized weight leaf as a dense [in, out] array."""
     if not is_quantized(w_leaf):
         return w_leaf.astype(dtype)
+    if w_leaf.kind == "int4" and w_leaf.layout == "cpt_split":
+        # Rejoin the per-stream buffers along the tile axis (transient,
+        # one layer at a time under the layer scan) and reuse the cpt math.
+        joined = dataclasses.replace(
+            w_leaf,
+            # tile axis: 0 for resolved [Ts, IN, TOh], 1 for stacked 4D
+            w=jnp.concatenate(w_leaf.w, axis=w_leaf.w[0].ndim - 3),
+            scales=jnp.concatenate(
+                w_leaf.scales, axis=w_leaf.scales[0].ndim - 3
+            ),
+            layout="cpt",
+        )
+        return dequantize_weight(joined, dtype)
     if w_leaf.kind == "int4" and w_leaf.layout == "cpt":
         T, IN, TOh = w_leaf.w.shape
         ngf = w_leaf.scales.shape[1] // 4
@@ -397,12 +442,14 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
             qmm_w4a8,
             qmm_w4a8_cp_stacked,
             qmm_w4a8_cpt,
+            qmm_w4a8_cpt_split,
             qmm_w4a8_prefill,
             qmm_w4a8_prefill_cpt,
             qmm_w4a8_stacked,
             qmm_w8a8_tiled,
             w4a8_cp_supported,
             w4a8_cpt2_supported,
+            w4a8_cpt_split_supported,
             w4a8_cpt_supported,
             w4a8_prefill_cpt_supported,
             w4a8_prefill_supported,
@@ -412,6 +459,46 @@ def linear(x: jax.Array, w_leaf, bias=None) -> jax.Array:
 
         # CPU wiring tests run the same kernels in interpret mode.
         interp = force_interpret()
+
+        if w_leaf.kind == "int4" and w_leaf.layout == "cpt_split":
+            idx = w_leaf.idx if w_leaf.idx is not None else 0
+            if w4a8_cpt_split_supported(x2.shape, w_leaf):
+                y = qmm_w4a8_cpt_split(
+                    x2, list(w_leaf.w), list(w_leaf.scales), idx,
+                    group_size=w_leaf.group_size, interpret=interp,
+                )
+            elif w4a8_prefill_cpt_supported(
+                x2.shape,
+                dataclasses.replace(
+                    w_leaf, w=w_leaf.w[0], scales=w_leaf.scales[0],
+                    layout="cpt",
+                ),
+            ):
+                # Prefill: run each stream's tiles through the prefill cpt
+                # kernel, then restore cpt column order ([lo all streams |
+                # hi all streams]) from the per-part [lo_i | hi_i] outputs.
+                parts = [
+                    qmm_w4a8_prefill_cpt(
+                        x2, w_i, m_i, idx,
+                        group_size=w_leaf.group_size, interpret=interp,
+                    )
+                    for w_i, m_i in zip(w_leaf.w, w_leaf.scales)
+                ]
+                half = parts[0].shape[-1] // 2
+                y = jnp.concatenate(
+                    [p[:, :half] for p in parts]
+                    + [p[:, half:] for p in parts],
+                    axis=-1,
+                )
+            else:
+                y = None
+            if y is not None:
+                if w_leaf.out_true:
+                    y = y[:, : w_leaf.out_true]
+                y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
 
         if (
             w_leaf.kind == "int4"

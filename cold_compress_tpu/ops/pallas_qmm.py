@@ -746,6 +746,128 @@ def qmm_w4a8_cpt(x, w_tiles, meta, layer_idx, group_size: int = 128,
     return (y * sx)[:true_L]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret")
+)
+def qmm_w4a8_cpt_split(x, w_parts, m_parts, layer_idx,
+                       group_size: int = 128, interpret: bool = False):
+    """Split-buffer multi-stream cpt matmul: stream i's blocks come from a
+    PHYSICALLY SEPARATE HBM buffer.
+
+    ``CCT_QMM_STREAMS`` binds one buffer to S operands with offset index
+    maps; probe8 measured that same-buffer aliasing defeats the DMA
+    pipeline (dma2 collapsed to 10 GB/s) and the production A/B came out
+    slightly WORSE (91.38 vs 92.3 tok/s, r3). Here the tile axis is split
+    at repack time into S disjoint arrays (w_parts[i] [NL, T/S, IN, TOh],
+    m_parts[i] the matching sidecars), so each stream's double-buffered
+    DMA chain walks its own buffer — the only multi-stream layout probe8
+    found profitable.
+
+    Tile ranges stay contiguous per stream, so concatenating the S output
+    parts reproduces qmm_w4a8_cpt's column order exactly.
+    """
+    S = len(w_parts)
+    true_L = x.shape[0]
+    if true_L > 1:
+        x, _ = _pad_rows(x)
+    L, IN = x.shape
+    NL, Ts, _, TOh = w_parts[0].shape
+    OUTh = S * Ts * TOh
+    gs = group_size
+    ngf = IN // gs
+    ngc = max(1, min(ngf, 128 // L, 4096 // gs))
+    CH = ngc * gs
+
+    xq, sx = _quantize_rows(x)
+    xs = jnp.sum(
+        xq.reshape(L, ngf, gs).astype(jnp.float32), axis=-1
+    )
+    onehot = (
+        (jnp.arange(ngf)[:, None] % ngc) == jnp.arange(ngc)[None, :]
+    ).astype(jnp.int8)
+    xt = xq.reshape(L, ngf, gs).transpose(1, 0, 2)
+    xbd = (onehot[:, None, :, None] * xt[:, :, None, :]).reshape(
+        ngf * L, CH
+    )
+
+    cost = pl.CostEstimate(
+        flops=2 * L * IN * OUTh * 2,
+        bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+        transcendentals=0,
+    )
+    in_specs = [
+        pl.BlockSpec((ngf * L, CH), lambda j, idx: (0, 0)),
+        pl.BlockSpec((L, ngf), lambda j, idx: (0, 0)),
+    ]
+    operands = []
+    for i in range(S):
+        in_specs += [
+            pl.BlockSpec((1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 4 * ngf, TOh), lambda j, idx: (idx[0], j, 0, 0)
+            ),
+        ]
+        operands += [w_parts[i], m_parts[i]]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ts,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j))
+            for _ in range(S)
+        ],
+    )
+    parts = pl.pallas_call(
+        functools.partial(
+            _cpt_kernel_ms, streams=S, group_size=gs, n_groups=ngf,
+            groups_per_chunk=ngc, rows_l=L,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, L, Ts * TOh), jnp.float32)
+            for _ in range(S)
+        ],
+        compiler_params=_compiler_params(
+            _stream_vmem_bytes(
+                S,
+                IN * TOh,
+                side_bytes=(
+                    4 * ngf * TOh * m_parts[0].dtype.itemsize
+                    + 2 * L * TOh * 4
+                ),
+                fixed_bytes=xbd.size + xs.size * 4,
+            )
+        ),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(jnp.asarray([layer_idx], jnp.int32), xbd, xs, *operands)
+    y = jnp.concatenate(parts, axis=-1)
+    y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+    return (y * sx)[:true_L]
+
+
+def qmm_split_streams() -> int:
+    """CCT_QMM_SPLIT=S (>1) routes stacked cpt leaves through the
+    split-buffer multi-stream kernel (see qmm_w4a8_cpt_split)."""
+    return int(os.environ.get("CCT_QMM_SPLIT", "1"))
+
+
+def w4a8_cpt_split_supported(x_2d_shape, w_leaf) -> bool:
+    """Decode gate for cpt_split leaves (w = tuple of [NL, Ts, IN, TOh])."""
+    if not backend_ok():
+        return False
+    L, IN = x_2d_shape
+    TOh = w_leaf.w[0].shape[-1]
+    gs = w_leaf.group_size
+    return (
+        w_leaf.kind == "int4"
+        and L <= 32
+        and IN % 256 == 0
+        and TOh % 128 == 0
+        and IN % gs == 0
+    )
+
+
 def w4a8_cpt2_supported(x_2d_shape, w_leaf) -> bool:
     """Gate for the cpt kernel (leaf layout == 'cpt', w [NL, T, IN, TOh])."""
     if not backend_ok():

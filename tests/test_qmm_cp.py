@@ -197,3 +197,125 @@ def test_qmm_prefill_cpt_matches_dequant(L):
         )
         denom = np.abs(ref).max() + 1e-9
         assert np.abs(got - ref).max() / denom < 0.03, f"layer {i}"
+
+
+def _cpt_split_fixture(rng, IN=512, OUT=1024, NL=2, S=2, tile=128):
+    """Stacked cpt leaf + its split-buffer twin (shared idx placeholder)."""
+    import dataclasses
+
+    from cold_compress_tpu.ops.linear import to_cpt, to_cpt_split
+
+    leaves = [_leaf(rng, IN, OUT) for _ in range(NL)]
+    cpts = [to_cpt(to_colpack(lf), tile_out=tile) for lf in leaves]
+    stacked = dataclasses.replace(
+        cpts[0], w=jnp.stack([c.w for c in cpts]),
+        scales=jnp.stack([c.scales for c in cpts]),
+    )
+    return leaves, stacked, to_cpt_split(stacked, S)
+
+
+@pytest.mark.parametrize("L", [1, 8])
+def test_qmm_cpt_split_matches_cpt(L):
+    """Split-buffer multi-stream decode kernel == single-buffer cpt kernel
+    (identical per-tile math and output column order)."""
+    from cold_compress_tpu.ops.pallas_qmm import (
+        qmm_w4a8_cpt,
+        qmm_w4a8_cpt_split,
+    )
+
+    rng = np.random.RandomState(21)
+    _, stacked, split = _cpt_split_fixture(rng)
+    x = jnp.asarray(rng.randn(L, 512).astype(np.float32) * 0.3)
+    for i in range(2):
+        ref = np.asarray(
+            qmm_w4a8_cpt(x, stacked.w, stacked.scales, i, interpret=True)
+        )
+        got = np.asarray(
+            qmm_w4a8_cpt_split(
+                x, list(split.w), list(split.scales), i, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"layer {i}")
+
+
+def test_cpt_split_dequant_roundtrip():
+    """dequantize_weight over resolved cpt_split parts is bit-identical to
+    the unsplit cpt dequant (the XLA fallback path every non-decode shape
+    takes); rowpack-vs-cpt sidecar rounding is covered with tolerance by
+    test_matmul_cpt_xla_matches_dequant."""
+    import dataclasses
+
+    rng = np.random.RandomState(22)
+    _, stacked, split = _cpt_split_fixture(rng)
+    for i in range(2):
+        one = dataclasses.replace(split, idx=jnp.int32(i)).resolved()
+        ref = dataclasses.replace(stacked, idx=jnp.int32(i)).resolved()
+        assert isinstance(one.w, tuple) and one.w[0].ndim == 3
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_weight(one, jnp.float32)),
+            np.asarray(dequantize_weight(ref, jnp.float32)),
+        )
+
+
+@pytest.mark.parametrize("L", [1, 300])
+def test_linear_cpt_split_dispatch(L, monkeypatch):
+    """ops.linear routes cpt_split leaves through the split decode kernel
+    (L=1) and the per-part prefill kernel with column-order fixup (L=300,
+    CCT_PREFILL_W4A8=1); both match the rowpack dequant reference."""
+    import dataclasses
+
+    from cold_compress_tpu.ops.linear import linear
+
+    monkeypatch.setenv("CCT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CCT_PREFILL_W4A8", "1")
+    rng = np.random.RandomState(23)
+    leaves, stacked, split = _cpt_split_fixture(rng)
+    x = jnp.asarray(rng.randn(L, 512).astype(np.float32) * 0.3)
+    for i in range(2):
+        leaf_i = dataclasses.replace(split, idx=jnp.int32(i))
+        ref = np.asarray(x @ dequantize_weight(leaves[i], jnp.float32))
+        got = np.asarray(linear(x, leaf_i).astype(jnp.float32))
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < 0.03, f"layer {i}"
+
+
+def test_colpack_layer_params_split_routing(monkeypatch):
+    """CCT_QMM_SPLIT=2 at repack time splits eligible stacked cpt leaves;
+    generation through the dispatch (interpret kernels) matches the
+    unsplit run token-for-token."""
+    from cold_compress_tpu.caches import CacheSpec
+    from cold_compress_tpu.models.config import ModelConfig
+    from cold_compress_tpu.quantization.weight_quant import quantize_params
+    from cold_compress_tpu.runtime.generate import generate
+
+    cfg = ModelConfig.from_name("TestTiny")
+    params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = quantize_params(params, mode="int4", group_size=32)
+    rope = T.make_rope_table(cfg)
+    specs = tuple(
+        CacheSpec(
+            cache_strategy="full", max_cache_length=64, max_seq_length=64
+        )
+        for _ in range(cfg.n_layer)
+    )
+
+    def run(ps):
+        caches = T.init_caches(cfg, specs, 1, jnp.float32)
+        seq, _, _ = generate(
+            cfg, ps, rope, caches, list(range(5, 40)), 8, prefill_bucket=64
+        )
+        return seq
+
+    fused = T.fuse_layer_params(T.stack_layer_params(params))
+    from cold_compress_tpu.ops import pallas_qmm
+
+    monkeypatch.setattr(pallas_qmm, "_TILE_ENV", 32)
+    monkeypatch.setenv("CCT_QMM_SPLIT", "2")
+    monkeypatch.setenv("CCT_PALLAS_INTERPRET", "1")
+    cp = T.colpack_layer_params(fused)
+    layouts = {
+        leaf.layout
+        for leaf in jax.tree.leaves(cp["layers"], is_leaf=is_quantized)
+        if is_quantized(leaf) and leaf.kind == "int4"
+    }
+    assert run(fused) == run(cp), layouts
