@@ -178,19 +178,41 @@ class HybridCache(HeavyHitterCache):
         valid: jax.Array,  # [B, P]
         prompt_len: jax.Array,  # scalar
     ) -> CacheState:
+        cum, wcols = _profile_partial(spec, q, k, prompt_len)
+        return cls.fill_after_profile(
+            spec, state, cum, wcols, k, v, tokens, input_pos, valid,
+            prompt_len,
+        )
+
+    @classmethod
+    def fill_after_profile(
+        cls,
+        spec: CacheSpec,
+        state: CacheState,
+        cum: jax.Array,  # [B, KVH, P] profile accumulators (psum'ed if SP)
+        wcols: jax.Array,  # [W, B, KVH, P]
+        k: jax.Array,  # [B, KVH, P, D] FULL-sequence keys
+        v: jax.Array,
+        tokens: jax.Array,  # [B, P] full token ids
+        input_pos: jax.Array,  # [P]
+        valid: jax.Array,  # [B, P]
+        prompt_len: jax.Array,
+    ) -> CacheState:
+        """Replicated tail of profiling: menu scoring, per-head policy pick,
+        keep-mask build, and the reordered cache fill. Sequence-parallel
+        prefill psums the _profile_partial accumulators across the 'sp'
+        axis and calls this on every device (parallel/sp.py)."""
         B, KVH, P, D = k.shape
         C = spec.max_cache_length
         assert C >= P, "hybrid requires max_cache_length = full sequence"
-        menu = spec.hybrid_strategies
-        g = spec.global_tokens
 
         special = _special_token_mask(spec, tokens) & valid  # [B, P]
         punc = _punc_token_mask(spec, tokens) & valid
         num_special = jnp.sum(special, axis=-1).astype(jnp.int32)
         num_punc = jnp.sum(punc, axis=-1).astype(jnp.int32)
 
-        cum_attn, scores = _profile_pass(
-            spec, q, k, valid, prompt_len, special, punc
+        cum_attn, scores = _profile_finalize(
+            spec, cum, wcols, valid, prompt_len, special, punc
         )  # cum_attn [B,KVH,P]; scores [S,B,KVH]
 
         # First menu entry recovering >= min_recovery_frac; falls back to
@@ -522,62 +544,51 @@ def _strategy_base_cols(spec, s: HybridStrategy, cum_attn, special, punc,
     return base
 
 
-def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
-                  chunk_size: int = 512):
-    """ONE streaming pass over the prompt attention computing, per head:
-    the query-averaged column attention (cum_attn) and each menu entry's
-    recovered-attention score.
+def _profile_windows(spec, P):
+    """Distinct non-zero window lengths in the menu, at total_len = P."""
+    window_lens = [
+        max(1, int(s.recent_window * P)) if "window" in s.strategy else 0
+        for s in spec.hybrid_strategies
+    ]
+    return window_lens, sorted({w for w in window_lens if w > 0})
 
-    Replaces the reference's materialized [S, H, P, P] mask stack
-    (cache.py:1066-1136,1160-1168) with chunked accumulation, and fuses
-    what used to be two QK^T sweeps (one for cum_attn, one for the
-    per-strategy recovered sums — the r3 layout) into a single sweep.
 
-    The fusion rests on a decomposition of each strategy's recovered
-    attention mass. With colsum[c] = sum_q probs[q, c] (query-validity
-    weighted) and, for each distinct window length w,
-    wcolsum_w[c] = sum_q probs[q, c] * [c in window_w(q)]:
+def _profile_partial(spec, q, k, prompt_len, q_offset=0,
+                     chunk_size: int = 512):
+    """Streaming profile accumulators for a contiguous QUERY block at
+    global position ``q_offset`` against the FULL key sequence.
 
-        sum_q sum_{c in base_s OR window_w(q)} probs[q, c]
-          = dot(base_s, colsum)                (static columns)
-          + sum_c wcolsum_w[c]                 (window mass)
-          - dot(base_s, wcolsum_w)             (overlap double-count)
-
-    base_s depends on cum_attn (heavy-hitter column selection), but only
-    through per-COLUMN reductions — so both colsum and the wcolsum_w
-    accumulators stream in the same chunked pass, and the per-strategy
-    scores collapse to cheap [B, KVH, P] dots afterwards. Exact same
-    math as the two-pass version (tests/test_hybrid.py asserts parity
-    against a dense reference)."""
-    B, H, P, D = q.shape
+    Returns (cum [B, KVH, P], wcols [W, B, KVH, P]): raw column
+    attention-mass sums over this block's valid queries, and the same
+    restricted to each distinct recent-window length. Both are plain sums
+    over query rows, so sequence-parallel prefill runs this on each
+    device's query shard and psums the results (parallel/sp.py) — the
+    building block the single-device pass (q_offset=0, full q) shares."""
+    B, H, Pq, D = q.shape
     KVH = k.shape[1]
+    P = k.shape[2]
     G = H // KVH
-    menu = spec.hybrid_strategies
     scale = 1.0 / math.sqrt(D)
     input_pos = jnp.arange(P, dtype=jnp.int32)
 
-    qg = q.reshape(B, KVH, G, P, D).astype(jnp.bfloat16)
+    qg = q.reshape(B, KVH, G, Pq, D).astype(jnp.bfloat16)
     kf = k.astype(jnp.bfloat16)
-    chunk = min(chunk_size, P)
-    n_chunks = -(-P // chunk)
-    if n_chunks * chunk != P:
+    chunk = min(chunk_size, Pq)
+    n_chunks = -(-Pq // chunk)
+    if n_chunks * chunk != Pq:
         # Pad the query axis to a chunk multiple (a full-length hybrid cache
         # can have any multiple-of-8 length, e.g. max_seq_length 5000). Pad
         # queries have q_pos >= P >= prompt_len, so q_valid zeroes their
         # contribution; keys are not padded.
         qg = jnp.pad(
-            qg, [(0, 0), (0, 0), (0, 0), (0, n_chunks * chunk - P), (0, 0)]
+            qg, [(0, 0), (0, 0), (0, 0), (0, n_chunks * chunk - Pq), (0, 0)]
         )
 
-    window_lens = [
-        max(1, int(s.recent_window * P)) if "window" in s.strategy else 0
-        for s in menu
-    ]
-    uniq_w = sorted({w for w in window_lens if w > 0})
+    _, uniq_w = _profile_windows(spec, P)
 
     def attn_chunk(ci):
         qc = jax.lax.dynamic_slice_in_dim(qg, ci * chunk, chunk, axis=3)
-        q_pos = ci * chunk + jnp.arange(chunk)
+        q_pos = q_offset + ci * chunk + jnp.arange(chunk)
         scores = (
             jnp.einsum(
                 "bkgld,bksd->bkgls", qc, kf,
@@ -623,6 +634,35 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
         jnp.zeros((len(uniq_w), B, KVH, P), jnp.float32),
     )
     (cum, wcols), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return cum, wcols
+
+
+def _profile_finalize(spec, cum, wcols, valid, prompt_len, special, punc):
+    """Turn (psum'ed) profile accumulators into the query-averaged column
+    attention (cum_attn) and each menu entry's recovered-attention score.
+
+    The per-strategy decomposition: with colsum[c] = sum_q probs[q, c]
+    (query-validity weighted) and, for each distinct window length w,
+    wcolsum_w[c] = sum_q probs[q, c] * [c in window_w(q)]:
+
+        sum_q sum_{c in base_s OR window_w(q)} probs[q, c]
+          = dot(base_s, colsum)                (static columns)
+          + sum_c wcolsum_w[c]                 (window mass)
+          - dot(base_s, wcolsum_w)             (overlap double-count)
+
+    base_s depends on cum_attn (heavy-hitter column selection), but only
+    through per-COLUMN reductions — so the accumulators stream in one
+    chunked pass (replacing the reference's materialized [S, H, P, P] mask
+    stack, cache.py:1066-1136,1160-1168, and the r3 two-sweep layout) and
+    the per-strategy scores collapse to cheap [B, KVH, P] dots here.
+    tests/test_hybrid.py asserts parity against a dense reference."""
+    B, KVH, P = cum.shape
+    menu = spec.hybrid_strategies
+    input_pos = jnp.arange(P, dtype=jnp.int32)
+    window_lens, uniq_w = _profile_windows(spec, P)
+    plen = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+    )
     denom = jnp.maximum(plen[:, None] - input_pos[None, :], 1).astype(
         jnp.float32
     )  # [B, P]
@@ -642,6 +682,19 @@ def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
     n_q = jnp.maximum(plen, 1).astype(jnp.float32)  # [B]
     scores = jnp.stack(sums) / n_q[None, :, None]  # mean over valid queries
     return cum_attn, scores
+
+
+def _profile_pass(spec, q, k, valid, prompt_len, special, punc,
+                  chunk_size: int = 512):
+    """Single-device profile: one streaming QK^T pass (q_offset=0, full
+    query axis) then finalize. SP runs the same two pieces with a psum in
+    between (parallel/sp.py)."""
+    cum, wcols = _profile_partial(
+        spec, q, k, prompt_len, q_offset=0, chunk_size=chunk_size
+    )
+    return _profile_finalize(
+        spec, cum, wcols, valid, prompt_len, special, punc
+    )
 
 
 def _keep_mask_for_filling(

@@ -22,8 +22,11 @@ Design (per layer, inside shard_map):
 
 The attention itself is exact (each query row's softmax is independent;
 key axis is never chunked), so SP output == single-device output up to
-f32 summation order. Hybrid (FastGen) profiling needs full attention maps
-and is not supported under SP; every score/summary-based strategy is.
+f32 summation order. Hybrid (FastGen) profiling rides the same scheme:
+its accumulators are per-COLUMN sums over query rows (caches/hybrid.py
+``_profile_partial``), so each device profiles its own query shard, the
+partials psum over 'sp', and the policy pick + reordered fill run
+replicated (``HybridCache.fill_after_profile``).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from jax import shard_map
 
 from ..caches import get_cache_strategy, get_prompt_compressor
 from ..caches.base import CacheState
+from ..caches.hybrid import _profile_partial
 from ..models import transformer as T
 from ..models.config import ModelConfig
 from ..ops.attention import chunked_prefill_partial, finalize_summary
@@ -52,19 +56,10 @@ def make_sp_mesh(sp: int, devices=None) -> Mesh:
 
 
 def sp_supported(caches) -> bool:
-    """SP covers every strategy whose prefill consumes per-key summaries;
-    hybrid profiling (full attention maps) is the exception."""
-    specs = (
-        [caches.spec]
-        if isinstance(caches, CacheState)
-        else [c.spec for c in (caches if isinstance(caches, tuple) else [caches])]
-    )
-    return all(
-        not hasattr(
-            get_cache_strategy(s.cache_strategy), "profile_prefill"
-        )
-        for s in specs
-    )
+    """SP covers every strategy: summary-based fills psum per-key summary
+    partials, and hybrid profiling psums its column accumulators (both are
+    sums over the sharded query axis)."""
+    return True
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "obs_len"))
@@ -105,6 +100,9 @@ def sp_prefill(
         plen_b = jnp.broadcast_to(jnp.atleast_1d(plen), (B,))
         valid = input_pos[None, :] < plen_b[:, None]  # [B, Pfull]
         x = T._embed(params, tokens_loc)  # [B, Ploc, D]
+        tokens_all = jax.lax.all_gather(
+            tokens_loc, "sp", axis=1, tiled=True
+        )  # [B, Pfull] — hybrid profiling masks need the full ids
 
         def layer_fn(x, lp, cache):
             spec = cache.spec
@@ -116,17 +114,34 @@ def sp_prefill(
             q, k, v = T._qkv(cfg, lp["attn"], xr, freqs_loc)
             k_all = jax.lax.all_gather(k, "sp", axis=2, tiled=True)
             v_all = jax.lax.all_gather(v, "sp", axis=2, tiled=True)
-            y, cum_p, obs_p = chunked_prefill_partial(
-                q, k_all, v_all, plen, q_offset=offset,
-                need_summary=True, obs_len=obs_len,
-            )
-            cum = jax.lax.psum(cum_p, "sp")
-            obs = jax.lax.psum(obs_p, "sp")
-            summary = finalize_summary(cum, obs, plen_b, Pfull, obs_len)
-            cache = T.fill_from_kv(
-                strategy, compressor, cache, k_all, v_all, summary,
-                input_pos, valid, plen,
-            )
+            if hasattr(strategy, "profile_prefill"):
+                # Hybrid/FastGen: profile this shard's query rows, psum the
+                # column accumulators, then run the (replicated) policy
+                # pick + reordered fill. Mirrors the summary psum below.
+                y, _, _ = chunked_prefill_partial(
+                    q, k_all, v_all, plen, q_offset=offset
+                )
+                cum_p, wcols_p = _profile_partial(
+                    spec, q, k_all, plen, q_offset=offset
+                )
+                cum = jax.lax.psum(cum_p, "sp")
+                wcols = jax.lax.psum(wcols_p, "sp")
+                cache = strategy.fill_after_profile(
+                    spec, cache, cum, wcols, k_all, v_all, tokens_all,
+                    input_pos, valid, plen,
+                )
+            else:
+                y, cum_p, obs_p = chunked_prefill_partial(
+                    q, k_all, v_all, plen, q_offset=offset,
+                    need_summary=True, obs_len=obs_len,
+                )
+                cum = jax.lax.psum(cum_p, "sp")
+                obs = jax.lax.psum(obs_p, "sp")
+                summary = finalize_summary(cum, obs, plen_b, Pfull, obs_len)
+                cache = T.fill_from_kv(
+                    strategy, compressor, cache, k_all, v_all, summary,
+                    input_pos, valid, plen,
+                )
             y = y.transpose(0, 2, 1, 3).reshape(
                 B, Ploc, cfg.n_head * cfg.head_dim
             )
@@ -324,6 +339,9 @@ def sp_tp_prefill(
         plen_b = jnp.broadcast_to(jnp.atleast_1d(plen), (B,))
         valid = input_pos[None, :] < plen_b[:, None]
         x = T._embed(params, tokens_loc)
+        tokens_all = jax.lax.all_gather(
+            tokens_loc, "sp", axis=1, tiled=True
+        )  # [B, Pfull]
 
         def layer_fn(x, lp, cache):
             spec = cache.spec
@@ -337,17 +355,34 @@ def sp_tp_prefill(
             q, k, v = T._qkv(cfg_loc, lp["attn"], xr, freqs_loc)
             k_all = jax.lax.all_gather(k, "sp", axis=2, tiled=True)
             v_all = jax.lax.all_gather(v, "sp", axis=2, tiled=True)
-            y, cum_p, obs_p = chunked_prefill_partial(
-                q, k_all, v_all, plen, q_offset=offset,
-                need_summary=True, obs_len=obs_len,
-            )
-            cum = jax.lax.psum(cum_p, "sp")
-            obs = jax.lax.psum(obs_p, "sp")
-            summary = finalize_summary(cum, obs, plen_b, Pfull, obs_len)
-            cache = T.fill_from_kv(
-                strategy, compressor, cache, k_all, v_all, summary,
-                input_pos, valid, plen,
-            )
+            if hasattr(strategy, "profile_prefill"):
+                # Hybrid under sp x tp: heads are tp-local (the cache's KV
+                # head axis is tp-sharded to match), queries sp-sharded;
+                # the column accumulators psum over 'sp' only.
+                y, _, _ = chunked_prefill_partial(
+                    q, k_all, v_all, plen, q_offset=offset
+                )
+                cum_p, wcols_p = _profile_partial(
+                    spec, q, k_all, plen, q_offset=offset
+                )
+                cum = jax.lax.psum(cum_p, "sp")
+                wcols = jax.lax.psum(wcols_p, "sp")
+                cache = strategy.fill_after_profile(
+                    spec, cache, cum, wcols, k_all, v_all, tokens_all,
+                    input_pos, valid, plen,
+                )
+            else:
+                y, cum_p, obs_p = chunked_prefill_partial(
+                    q, k_all, v_all, plen, q_offset=offset,
+                    need_summary=True, obs_len=obs_len,
+                )
+                cum = jax.lax.psum(cum_p, "sp")
+                obs = jax.lax.psum(obs_p, "sp")
+                summary = finalize_summary(cum, obs, plen_b, Pfull, obs_len)
+                cache = T.fill_from_kv(
+                    strategy, compressor, cache, k_all, v_all, summary,
+                    input_pos, valid, plen,
+                )
             y = y.transpose(0, 2, 1, 3).reshape(
                 B, Ploc, cfg_loc.n_head * cfg.head_dim
             )

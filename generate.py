@@ -152,10 +152,7 @@ def main(args) -> None:
         assert args.tp == 1, "--sp composes with --tp in a later revision"
         from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_supported
 
-        assert sp_supported(caches), (
-            "hybrid profiling needs full attention maps; --sp supports the "
-            "score/summary-based strategies"
-        )
+        assert sp_supported(caches)  # covers every strategy incl. hybrid
         sp_mesh = make_sp_mesh(args.sp)
         print(f"Sequence-parallel prefill over {args.sp} devices")
 

@@ -266,3 +266,86 @@ def test_sp_prefill_quantized_weights():
     np.testing.assert_array_equal(
         np.asarray(sp_caches.pos), np.asarray(ref_caches.pos)
     )
+
+
+def test_sp_prefill_hybrid_matches_single_device():
+    """Hybrid (FastGen) under SP: per-shard profile accumulators psum to
+    the single-device profile exactly (sums over query rows), so policy
+    picks, kept slots, and greedy continuations all match."""
+    from cold_compress_tpu.runtime.engine import build_cache_specs
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig.from_name("TestTiny")
+    params = T.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rope = T.make_rope_table(cfg)
+    P_len = 128
+    specs = build_cache_specs(
+        cfg,
+        {
+            "cache_strategy": ["hybrid"],
+            "max_cache_length": [1.0],
+            "prompt_compression_strategy": ["full"],
+            "global_tokens": 2,
+            "hybrid_strategies": [
+                {"strategy": "window", "recent_window": 0.1},
+                {
+                    "strategy": "special_punc_heavy_hitter",
+                    "heavy_hitter_frac": 0.25,
+                },
+                {"strategy": "full"},
+            ],
+            "min_recovery_frac": 0.85,
+        },
+        max_seq_length=P_len,
+        token_ids={"special": [[256], [257]], "punctuation": [46, 44, 33]},
+    )
+    rng = np.random.RandomState(3)
+    toks = rng.randint(5, cfg.vocab_size - 5, size=(1, P_len))
+    toks[0, [4, 30, 77]] = 256  # specials + punc exercise the masks
+    toks[0, [10, 50, 90]] = 46
+    tokens = jnp.asarray(toks, jnp.int32)
+    prompt_len = jnp.int32(P_len - 7)
+    params_s = T.stack_layer_params(params)
+
+    def fresh():
+        return T.init_caches(cfg, specs, 1, jnp.float32)
+
+    assert sp_supported(fresh())
+    ref_logits, ref_caches = T.prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len
+    )
+    sp_logits, sp_caches = sp_prefill(
+        cfg, params_s, rope, fresh(), tokens, prompt_len, make_sp_mesh(4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits), rtol=6e-3, atol=2e-3
+    )
+    # Same per-head policy picks and same reordered kept slots.
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.extra["strategy_idx"]),
+        np.asarray(ref_caches.extra["strategy_idx"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.pos), np.asarray(ref_caches.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.mask), np.asarray(ref_caches.mask)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_caches.cache_ct), np.asarray(ref_caches.cache_ct)
+    )
+
+    def decode_n(caches, first, n=6):
+        toks = [int(first)]
+        tok = jnp.asarray([first], jnp.int32)
+        for i in range(n):
+            logits, caches = T.decode_step(
+                cfg, params_s, rope, caches, tok, prompt_len + i
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks
+
+    first = int(np.argmax(np.asarray(ref_logits)[0]))
+    assert decode_n(ref_caches, first) == decode_n(sp_caches, first)
