@@ -40,6 +40,10 @@ CONFIGS = [
     ("bf16 full cache_bits=8", "model.npz", ["--cache_bits", "8"]),
     ("bf16 full cache_bits=4", "model.npz", ["--cache_bits", "4"]),
     ("bf16 full cache_bits=2", "model.npz", ["--cache_bits", "2"]),
+    # int8-MXU decode-attention dots (default-on candidate): adds per-row
+    # query/prob quantization on top of the kv8 cache quantization.
+    ("bf16 full cache_bits=8 i8dot", "model.npz",
+     ["--cache_bits", "8"], {"CCT_ATTN_I8DOT": "1"}),
     ("int8 full", "model_int8.npz", []),
     ("int4 full", "model_int4.g64.npz", []),
     ("int4-gptq full", "model_int4-gptq.g64.npz", []),
@@ -73,12 +77,29 @@ INDOMAIN_CONFIGS = [
      ["--seq_length", "512",
       "--cache_strategy", "l2", "--max_cache_length", "0.5",
       "--prompt_compression_strategy", "l2"]),
+    # FastGen hybrid: compression set by min_recovery_frac, not budget.
+    ("bf16 fastgen mrf=0.85 (1k)", "model.npz",
+     ["--seq_length", "512", "--cache_config", "fastgen"]),
+    ("bf16 fastgen mrf=0.7 (1k)", "model.npz",
+     ["--seq_length", "512", "--cache_config", "fastgen",
+      "--min_recovery_frac", "0.7"]),
+    # Prompt-compressor A/B: decode strategy fixed (recent_global@0.5),
+    # ONLY the prefill compressor varies — isolates compressor quality.
+    *[
+        (f"bf16 rg@0.5 + {pc} compressor (1k)", "model.npz",
+         ["--seq_length", "512",
+          "--cache_strategy", "recent_global", "--max_cache_length", "0.5",
+          "--prompt_compression_strategy", pc])
+        for pc in ("heavy_hitter", "l2", "keep_it_odd", "random")
+    ],
 ]
 
 TASKS = ["localtext", "localcode"]
 
 
-def run_one(label, ckpt, extra, device, num_samples, out_root):
+def run_one(label, ckpt, extra, device, num_samples, out_root, env=None):
+    import os
+
     out_dir = out_root / label.replace(" ", "_").replace("@", "")
     cmd = [
         sys.executable, "eval.py",
@@ -94,7 +115,8 @@ def run_one(label, ckpt, extra, device, num_samples, out_root):
     ] + extra
     print(f">>> {label}: {' '.join(cmd)}", flush=True)
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                       timeout=7200)
+                       timeout=7200,
+                       env={**os.environ, **env} if env else None)
     if r.returncode != 0:
         print(r.stdout[-2000:])
         print(r.stderr[-2000:])
@@ -128,6 +150,11 @@ def main():
     ap.add_argument("--out", type=Path,
                     default=REPO / "results" / "quality_ab")
     ap.add_argument(
+        "--filter", default=None,
+        help="Only run configs whose label contains this substring "
+        "(merges into the existing summary.json instead of replacing it).",
+    )
+    ap.add_argument(
         "--matrix", default="main", choices=["main", "indomain"],
         help="main: precision/cache-bits/strategy at the default lengths; "
         "indomain: strategy comparison with spans inside the trained "
@@ -144,9 +171,16 @@ def main():
     args.out.mkdir(parents=True, exist_ok=True)
 
     rows = {}
-    for label, ckpt, extra in configs:
+    if args.filter:
+        configs = [c for c in configs if args.filter in c[0]]
+        prev = args.out / "summary.json"
+        if prev.exists():
+            rows = json.loads(prev.read_text())
+    for cfg_row in configs:
+        label, ckpt, extra = cfg_row[:3]
+        env = cfg_row[3] if len(cfg_row) > 3 else None
         rows[label] = run_one(label, ckpt, extra, args.device,
-                              args.num_samples, args.out)
+                              args.num_samples, args.out, env=env)
         print(f"    -> {rows[label]}", flush=True)
 
     (args.out / "summary.json").write_text(json.dumps(rows, indent=2))

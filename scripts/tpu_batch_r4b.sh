@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-4 TPU batch B: A/Bs for the two new kernels staged this round —
+# the split-buffer multi-stream cpt weight layout (CCT_QMM_SPLIT, VERDICT
+# item 6: 528 -> >=580 GB/s weight stream) and the int8-MXU decode
+# attention (CCT_ATTN_I8DOT, VERDICT item 5: kv8 >= bf16, measured 106.62
+# once in batch A) — plus the plain-kv8 row batch A lost to a tunnel
+# wedge and the i8dot task-quality row on trained TinyByteLM weights.
+set -u
+OUT=/root/repo/results/tpu_batch_r4
+mkdir -p "$OUT"
+cd /root/repo
+SUM=$OUT/summary_b.log
+
+ping_tpu() {
+  timeout 420 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.full((256, 256), 2.0, jnp.bfloat16)
+assert float(np.asarray(x @ x).sum()) > 0
+print('ping ok')
+" > "$OUT/ping.log" 2>&1
+}
+
+run() {
+  name=$1; shift
+  if [ -f "$OUT/$name.log" ] && grep -q '"metric"\|RESULT_OK' "$OUT/$name.log"; then
+    echo "=== $name: already done, skipping" | tee -a "$SUM"
+    return
+  fi
+  if [ -n "${DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "=== $name: SKIPPED (past DEADLINE_EPOCH; freeing the chip)" | tee -a "$SUM"
+    return
+  fi
+  echo "=== $name: $*" | tee -a "$SUM"
+  timeout "${LEG_TIMEOUT:-2400}" "$@" > "$OUT/$name.log" 2>&1
+  rc=$?
+  tail -5 "$OUT/$name.log" | grep -v WARNING | tee -a "$SUM"
+  echo "--- rc=$rc" | tee -a "$SUM"
+  ok=""
+  for attempt in 1 2 3 4 5 6; do
+    if ping_tpu; then ok=1; break; fi
+    echo "    ping $attempt failed after $name; retrying" | tee -a "$SUM"
+    sleep 120
+  done
+  if [ -z "$ok" ]; then
+    echo "!!! tunnel wedged after $name — aborting batch" | tee -a "$SUM"
+    exit 1
+  fi
+}
+
+echo "=== BATCH R4B start $(date -u +%FT%TZ)" | tee -a "$SUM"
+
+# 1. Plain kv8 (batch A's leg died in a wedge; r3 one-shot ref: 94.97).
+run bench_kv8b    python -u bench.py --cache_bits 8
+
+# 2. i8dot repeatability + composition with the 5% budget row.
+run bench_kv8i8b  env CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
+run bench_kv4i8   env CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 4
+
+# 3. Split-buffer multi-stream weight DMA A/B (baseline 98.66 / 497.7
+#    GB/s from batch A; probe8's pure-DMA floor is 632).
+run bench_split2  env CCT_QMM_SPLIT=2 python -u bench.py
+run bench_split4  env CCT_QMM_SPLIT=4 python -u bench.py
+
+# 4. Combined best-candidate config: split + i8dot kv8.
+run bench_combo   env CCT_QMM_SPLIT=2 CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
+
+# 5. i8dot task quality on trained weights (TinyByteLM, TPU): ppl must
+#    match the plain kv8 row (4.011) to keep i8dot default-eligible.
+LEG_TIMEOUT=7200 run quality_i8dot python scripts/quality_ab.py \
+  --matrix main --device tpu --filter i8dot
+
+echo "=== BATCH R4B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
