@@ -103,28 +103,56 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
         meta = meta_ref[0, h]  # [8, C] f32
         sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
 
-        if bits == 8 and i8dot:
-            # int8 MXU attention: all [C, D]-sized work is two s8xs8->s32
-            # MXU dots; the affine dequant collapses to rank-1 fixups on
-            # [8, C]. The stored byte u in [0, 255] becomes u - 128 via
+        if i8dot and bits in (2, 4, 8):
+            # int8 MXU attention: all [C, D]-sized work is s8xs8->s32 MXU
+            # dots; the affine dequant collapses to rank-1 fixups on
+            # [8, C] because the quantization scales/zeros are per KEY ROW.
+            #
+            # bits=8: the stored byte u in [0, 255] becomes u - 128 via
             # XOR 0x80 + bitcast (exact two's complement), so
             # kf = i * sk + zk_raw with zk_raw carried in meta rows 5/6.
-            zk_raw, zv_raw = meta[5], meta[6]
+            #
+            # bits=4/2: each bit-plane segment holds UNSIGNED values
+            # (0..15 / 0..3) that already fit int8, so segments cast
+            # directly (one shift+AND on int8 lanes vs the dequant path's
+            # f32 multiply-adds) and the standard folded zero'
+            # (zk - 2^(b-1) sk, meta rows 1/3) stays correct. Segment s
+            # contracts against query/output columns [s*D/per, ...) like
+            # _dequant_segs.
+            if bits == 8:
+                k_off, v_off = meta[5], meta[6]  # raw zeros
+            else:
+                k_off, v_off = zk, zv  # folded zero' (unsigned segments)
+
+            def int_segs(packed):
+                if bits == 8:
+                    return [jax.lax.bitcast_convert_type(
+                        packed ^ jnp.uint8(0x80), jnp.int8
+                    )]
+                per_ = 8 // bits
+                mask_ = (1 << bits) - 1
+                p_ = packed.astype(jnp.int32)
+                return [((p_ >> (s_ * bits)) & mask_).astype(jnp.int8)
+                        for s_ in range(per_)]
+
             qf = q.astype(jnp.float32)
             qs = jnp.maximum(
                 jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8
             ) * (1.0 / 127.0)  # [8, 1]
             qq = jnp.round(qf / qs).astype(jnp.int8)
             qsum = jnp.sum(qf, axis=-1, keepdims=True)  # [8, 1] exact
-            ki = jax.lax.bitcast_convert_type(
-                kq_ref[0, h] ^ jnp.uint8(0x80), jnp.int8
-            )  # [C, D]
-            di = jax.lax.dot_general(
-                qq, ki, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
+            ksegs = int_segs(kq_ref[0, h])  # per x [C, D/per]
+            Dseg = ksegs[0].shape[-1]
+            di = sum(
+                jax.lax.dot_general(
+                    qq[:, i * Dseg : (i + 1) * Dseg], kseg,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                for i, kseg in enumerate(ksegs)
             )  # [8, C]
             s = (di.astype(jnp.float32) * qs * sk[None, :]
-                 + qsum * zk_raw[None, :]) * scale
+                 + qsum * k_off[None, :]) * scale
             s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -139,22 +167,26 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
                     axis=0,
                 )
 
-            # o = probs @ (vi * sv + zv_raw): quantize (probs * sv) rows
+            # o = probs @ (vi * sv + v_off): quantize (probs * sv) rows
             # to int8 — comparable error to the bf16 probs cast the other
-            # paths pay — and fold zv via one [8, C] @ [C] dot.
+            # paths pay — and fold the offset via one [8, C] @ [C] dot.
             ep = probs * sv[None, :]
             ps = jnp.maximum(
                 jnp.max(jnp.abs(ep), axis=-1, keepdims=True), 1e-30
             ) * (1.0 / 127.0)
             pq = jnp.round(ep / ps).astype(jnp.int8)
-            vi = jax.lax.bitcast_convert_type(
-                vq_ref[0, h] ^ jnp.uint8(0x80), jnp.int8
-            )
-            dv = jax.lax.dot_general(
-                pq, vi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [8, D]
-            zterm = jnp.sum(probs * zv_raw[None, :], axis=-1,
+            vsegs = int_segs(vq_ref[0, h])
+            dv = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        pq, vseg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    for vseg in vsegs
+                ],
+                axis=-1,
+            )  # [8, D] (segment s = head-dim columns [s*Dseg, ...))
+            zterm = jnp.sum(probs * v_off[None, :], axis=-1,
                             keepdims=True)  # [8, 1]
             o_ref[0, h] = dv.astype(jnp.float32) * ps + zterm
             continue
@@ -501,7 +533,8 @@ _DECODE_CHUNK = 512
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "need_attn", "interpret", "chunked")
+    jax.jit,
+    static_argnames=("bits", "need_attn", "interpret", "chunked", "i8dot"),
 )
 def quantized_decode_attention(
     q: jax.Array,      # [B, H, 1, D] (bf16/f32)
@@ -516,6 +549,7 @@ def quantized_decode_attention(
     need_attn: bool = False,
     interpret: bool = False,
     chunked: Optional[bool] = None,
+    i8dot: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Returns (out [B, H, 1, D], pooled attn [B, KVH, 1, C] | None),
     matching gqa_attention's decode contract.
@@ -533,7 +567,12 @@ def quantized_decode_attention(
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 8 - G), (0, 0)))
     qf = qf.astype(jnp.bfloat16)
 
-    i8dot = bits == 8 and os.environ.get("CCT_ATTN_I8DOT", "0") == "1"
+    # i8dot=None defers to the env gate — resolved at TRACE time, so the
+    # env must be process-constant (tests pass i8dot explicitly: it is a
+    # static cache key, the env is not).
+    if i8dot is None:
+        i8dot = os.environ.get("CCT_ATTN_I8DOT", "0") == "1"
+    i8dot = bool(i8dot) and bits in (2, 4, 8)
     maskf = mask.astype(jnp.float32)
     if bits == 16:
         zero = jnp.zeros_like(maskf)
@@ -547,9 +586,10 @@ def quantized_decode_attention(
             v_zeros - off * v_scales,
             maskf,
         ]
-        if i8dot:
-            # The int8-MXU kernel consumes u - 128 directly, so it needs
-            # the RAW zeros (rows 5/6) rather than the folded zero terms.
+        if i8dot and bits == 8:
+            # The bits=8 int8-MXU kernel consumes u - 128 directly, so it
+            # needs the RAW zeros (rows 5/6) rather than the folded zero
+            # terms (sub-byte segments stay unsigned and use rows 1/3).
             rows += [k_zeros, v_zeros]
     meta = jnp.stack(rows, axis=2)  # [B, KVH, 5|7, C]
     meta = jnp.pad(meta, ((0, 0), (0, 0), (0, 8 - len(rows)), (0, 0)))

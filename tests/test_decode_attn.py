@@ -230,29 +230,35 @@ def test_multistream_chunked_matches_single(bits, need_attn, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("bits", [8, 4, 2])
 @pytest.mark.parametrize("need_attn", [True, False])
-def test_i8dot_matches_dequant_path(need_attn, monkeypatch):
+def test_i8dot_matches_dequant_path(bits, need_attn):
     """CCT_ATTN_I8DOT: int8-MXU score/value dots with rank-1 affine fixups
-    vs the dequant-and-dot kernel. Query/probability int8 quantization
-    adds ~1% relative error on top of the shared cache quantization."""
-    monkeypatch.setenv("CCT_ATTN_I8DOT", "1")
+    vs the dequant-and-dot kernel, for every quantized cache width (bits=8
+    signed via XOR 0x80; 4/2 as unsigned bit-plane segments).
+    Query/probability int8 quantization adds ~1% relative error on top of
+    the shared cache quantization."""
     B, KVH, C, D, G = 1, 2, 128, 128, 4
     H = KVH * G
     rng = np.random.RandomState(5)
     q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
         jnp.bfloat16
     )
-    state = _mk_state(8, B=B, KVH=KVH, C=C, D=D)
-    y1, p1 = quantized_decode_attention(
+    state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D)
+    args = (
         q, state.k, state.v, state.k_scales, state.k_zeros,
         state.v_scales, state.v_zeros, state.mask,
-        bits=8, need_attn=need_attn, interpret=True, chunked=False,
     )
-    monkeypatch.setenv("CCT_ATTN_I8DOT", "0")
+    # Explicit i8dot arg: it is a static jit key, so the A/B genuinely
+    # compares traces (an env flip alone would hit the first trace's cache
+    # and compare the kernel against itself).
+    y1, p1 = quantized_decode_attention(
+        *args, bits=bits, need_attn=need_attn, interpret=True, chunked=False,
+        i8dot=True,
+    )
     y0, p0 = quantized_decode_attention(
-        q, state.k, state.v, state.k_scales, state.k_zeros,
-        state.v_scales, state.v_zeros, state.mask,
-        bits=8, need_attn=need_attn, interpret=True, chunked=False,
+        *args, bits=bits, need_attn=need_attn, interpret=True, chunked=False,
+        i8dot=False,
     )
     ref = np.abs(np.asarray(y0)).max() + 1e-9
     assert np.abs(np.asarray(y1) - np.asarray(y0)).max() / ref < 0.03
