@@ -96,6 +96,72 @@ def _dequant_segs(q_ref_slice, scale, zero_p, bits: int):
     ]
 
 
+def _int_segs(packed, bits: int):
+    """Packed [C, D/per] uint8 block -> int8 MXU operands.
+
+    bits=8: one segment, u - 128 via XOR 0x80 + bitcast (exact two's
+    complement; pair with RAW zeros). bits=4/2: per bit-plane segments of
+    UNSIGNED values (0..15 / 0..3, fit int8 directly; pair with the
+    standard folded zero'). Segment s covers head-dim columns
+    [s*D/per, (s+1)*D/per) like _dequant_segs."""
+    if bits == 8:
+        return [jax.lax.bitcast_convert_type(
+            packed ^ jnp.uint8(0x80), jnp.int8
+        )]
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    p = packed.astype(jnp.int32)
+    return [((p >> (s * bits)) & mask).astype(jnp.int8)
+            for s in range(per)]
+
+
+def _i8_scores(q, kq_block, sk, k_off, scale, bits):
+    """[8, C] attention scores via s8xs8->s32 MXU dots + rank-1 affine
+    fixups (per-key-row scales make the dequant collapse to them)."""
+    qf = q.astype(jnp.float32)
+    qs = jnp.maximum(
+        jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8
+    ) * (1.0 / 127.0)  # [8, 1]
+    qq = jnp.round(qf / qs).astype(jnp.int8)
+    qsum = jnp.sum(qf, axis=-1, keepdims=True)  # [8, 1] exact
+    ksegs = _int_segs(kq_block, bits)
+    Dseg = ksegs[0].shape[-1]
+    di = sum(
+        jax.lax.dot_general(
+            qq[:, i * Dseg : (i + 1) * Dseg], kseg,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for i, kseg in enumerate(ksegs)
+    )  # [8, C]
+    return (di.astype(jnp.float32) * qs * sk[None, :]
+            + qsum * k_off[None, :]) * scale
+
+
+def _i8_pv(e, vq_block, sv, v_off, bits):
+    """e @ dequant(V) via int8 MXU dots: quantize (e * sv) rows to int8 —
+    comparable error to the bf16 e cast the dequant paths pay — and fold
+    the offset via one [8, C] @ [C] dot. ``e`` may be unnormalized
+    (online-softmax chunks) — it scales out through ps/zterm."""
+    ep = e * sv[None, :]
+    ps = jnp.maximum(
+        jnp.max(jnp.abs(ep), axis=-1, keepdims=True), 1e-30
+    ) * (1.0 / 127.0)
+    pq = jnp.round(ep / ps).astype(jnp.int8)
+    dv = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                pq, vseg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            for vseg in _int_segs(vq_block, bits)
+        ],
+        axis=-1,
+    )  # [8, D]
+    zterm = jnp.sum(e * v_off[None, :], axis=-1, keepdims=True)
+    return dv.astype(jnp.float32) * ps + zterm
+
+
 def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
             bits, need_attn, i8dot=False):
     for h in range(KVH):  # static unroll: one fat program per batch element
@@ -104,55 +170,17 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
         sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
 
         if i8dot and bits in (2, 4, 8):
-            # int8 MXU attention: all [C, D]-sized work is s8xs8->s32 MXU
-            # dots; the affine dequant collapses to rank-1 fixups on
-            # [8, C] because the quantization scales/zeros are per KEY ROW.
-            #
-            # bits=8: the stored byte u in [0, 255] becomes u - 128 via
-            # XOR 0x80 + bitcast (exact two's complement), so
-            # kf = i * sk + zk_raw with zk_raw carried in meta rows 5/6.
-            #
-            # bits=4/2: each bit-plane segment holds UNSIGNED values
-            # (0..15 / 0..3) that already fit int8, so segments cast
-            # directly (one shift+AND on int8 lanes vs the dequant path's
-            # f32 multiply-adds) and the standard folded zero'
-            # (zk - 2^(b-1) sk, meta rows 1/3) stays correct. Segment s
-            # contracts against query/output columns [s*D/per, ...) like
-            # _dequant_segs.
+            # int8 MXU attention (_i8_scores/_i8_pv): all [C, D]-sized
+            # work is s8xs8->s32 MXU dots; the per-key-row affine dequant
+            # collapses to rank-1 fixups on [8, C]. bits=8 pairs signed
+            # bytes with the RAW zeros (meta rows 5/6); 4/2-bit segments
+            # stay unsigned and keep the folded zero' (rows 1/3).
             if bits == 8:
                 k_off, v_off = meta[5], meta[6]  # raw zeros
             else:
                 k_off, v_off = zk, zv  # folded zero' (unsigned segments)
 
-            def int_segs(packed):
-                if bits == 8:
-                    return [jax.lax.bitcast_convert_type(
-                        packed ^ jnp.uint8(0x80), jnp.int8
-                    )]
-                per_ = 8 // bits
-                mask_ = (1 << bits) - 1
-                p_ = packed.astype(jnp.int32)
-                return [((p_ >> (s_ * bits)) & mask_).astype(jnp.int8)
-                        for s_ in range(per_)]
-
-            qf = q.astype(jnp.float32)
-            qs = jnp.maximum(
-                jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8
-            ) * (1.0 / 127.0)  # [8, 1]
-            qq = jnp.round(qf / qs).astype(jnp.int8)
-            qsum = jnp.sum(qf, axis=-1, keepdims=True)  # [8, 1] exact
-            ksegs = int_segs(kq_ref[0, h])  # per x [C, D/per]
-            Dseg = ksegs[0].shape[-1]
-            di = sum(
-                jax.lax.dot_general(
-                    qq[:, i * Dseg : (i + 1) * Dseg], kseg,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                for i, kseg in enumerate(ksegs)
-            )  # [8, C]
-            s = (di.astype(jnp.float32) * qs * sk[None, :]
-                 + qsum * k_off[None, :]) * scale
+            s = _i8_scores(q, kq_ref[0, h], sk, k_off, scale, bits)
             s = jnp.where(msk[None, :] > 0.5, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -167,28 +195,7 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
                     axis=0,
                 )
 
-            # o = probs @ (vi * sv + v_off): quantize (probs * sv) rows
-            # to int8 — comparable error to the bf16 probs cast the other
-            # paths pay — and fold the offset via one [8, C] @ [C] dot.
-            ep = probs * sv[None, :]
-            ps = jnp.maximum(
-                jnp.max(jnp.abs(ep), axis=-1, keepdims=True), 1e-30
-            ) * (1.0 / 127.0)
-            pq = jnp.round(ep / ps).astype(jnp.int8)
-            vsegs = int_segs(vq_ref[0, h])
-            dv = jnp.concatenate(
-                [
-                    jax.lax.dot_general(
-                        pq, vseg, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    for vseg in vsegs
-                ],
-                axis=-1,
-            )  # [8, D] (segment s = head-dim columns [s*Dseg, ...))
-            zterm = jnp.sum(probs * v_off[None, :], axis=-1,
-                            keepdims=True)  # [8, 1]
-            o_ref[0, h] = dv.astype(jnp.float32) * ps + zterm
+            o_ref[0, h] = _i8_pv(probs, vq_ref[0, h], sv, v_off, bits)
             continue
 
         if bits == 16:
@@ -256,12 +263,39 @@ def _kernel(q_ref, kq_ref, vq_ref, meta_ref, o_ref, p_ref, *, KVH, G, scale,
 
 
 def _chunk_step(q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
-                acc_ref, m_ref, l_ref, h, *, scale, bits, need_attn):
+                acc_ref, m_ref, l_ref, h, *, scale, bits, need_attn,
+                i8dot=False):
     """Process one head's KV chunk block, updating the running (acc, m, l)
     scratch; returns (acc_new, l_new) for an optional finalize."""
     q = q_ref[0, h]  # [8, D] bf16
     meta = meta_ref[0, h]  # [8, CHUNK] f32
     sk, zk, sv, zv, msk = meta[0], meta[1], meta[2], meta[3], meta[4]
+
+    if i8dot and bits in (2, 4, 8):
+        # int8-MXU online-softmax chunk (see _i8_scores/_i8_pv): the
+        # unnormalized e rows feed _i8_pv directly — its per-row prob
+        # quantization scale absorbs the running-max normalization.
+        k_off, v_off = (meta[5], meta[6]) if bits == 8 else (zk, zv)
+        s = _i8_scores(q, kq_ref[0, h], sk, k_off, scale, bits)
+        live = msk[None, :] > 0.5
+        s = jnp.where(live, s, NEG_INF)
+        m_prev = m_ref[h, :, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.where(live, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_ref[h, :, 0:1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+        pv = _i8_pv(e, vq_ref[0, h], sv, v_off, bits)
+        acc_new = acc_ref[h] * corr + pv
+        acc_ref[h] = acc_new
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+        l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+        if need_attn:
+            e_ref[0, h] = e
+            aux_ref[0, h] = jnp.concatenate(
+                [jnp.broadcast_to(m_new, (8, 64)),
+                 jnp.broadcast_to(l_new, (8, 64))], axis=-1
+            )
+        return acc_new, l_new
 
     if bits == 16:
         # bf16 operands, f32 accumulation (see _kernel).
@@ -330,7 +364,7 @@ def _chunk_step(q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
 
 def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
                     acc_ref, m_ref, l_ref, *, KVH, G, scale, bits, need_attn,
-                    n_chunks):
+                    n_chunks, i8dot=False):
     """Flash-style online-softmax over cache chunks: grid (B, NC).
 
     Chunking the cache axis lets Mosaic double-buffer the K/V chunk DMAs
@@ -355,7 +389,7 @@ def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
         acc_new, l_new = _chunk_step(
             q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
             acc_ref, m_ref, l_ref, h,
-            scale=scale, bits=bits, need_attn=need_attn,
+            scale=scale, bits=bits, need_attn=need_attn, i8dot=i8dot,
         )
 
         @pl.when(nc == n_chunks - 1)
@@ -364,7 +398,7 @@ def _kernel_chunked(q_ref, kq_ref, vq_ref, meta_ref, o_ref, e_ref, aux_ref,
 
 
 def _kernel_chunked_ms(q_ref, *refs, KVH, G, scale, bits, need_attn,
-                       n_chunks, streams):
+                       n_chunks, streams, i8dot=False):
     """Multi-stream chunked kernel: ``streams`` (kq, vq, meta) triples feed
     S chunk DMAs in flight per grid step; stream i owns chunk
     nc + i * (NC/S). Online softmax is order-free, and each chunk's e-block
@@ -391,7 +425,7 @@ def _kernel_chunked_ms(q_ref, *refs, KVH, G, scale, bits, need_attn,
             acc_new, l_new = _chunk_step(
                 q_ref, kq_ref, vq_ref, meta_ref, e_ref, aux_ref,
                 acc_ref, m_ref, l_ref, h,
-                scale=scale, bits=bits, need_attn=need_attn,
+                scale=scale, bits=bits, need_attn=need_attn, i8dot=i8dot,
             )
 
         @pl.when(nc == NCs - 1)
@@ -402,7 +436,7 @@ def _kernel_chunked_ms(q_ref, *refs, KVH, G, scale, bits, need_attn,
 
 
 def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
-                  need_attn, chunk, interpret):
+                  need_attn, chunk, interpret, i8dot=False):
     import os
 
     NC = C // chunk
@@ -429,7 +463,7 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
         NCs = NC // S
         kernel = functools.partial(
             _kernel_chunked_ms, KVH=KVH, G=G, scale=scale, bits=bits,
-            need_attn=need_attn, n_chunks=NC, streams=S,
+            need_attn=need_attn, n_chunks=NC, streams=S, i8dot=i8dot,
         )
         in_specs = [q_spec]
         operands = []
@@ -480,7 +514,7 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
     else:
         kernel = functools.partial(
             _kernel_chunked, KVH=KVH, G=G, scale=scale, bits=bits,
-            need_attn=need_attn, n_chunks=NC,
+            need_attn=need_attn, n_chunks=NC, i8dot=i8dot,
         )
         out_shapes = [
             jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
@@ -614,7 +648,7 @@ def quantized_decode_attention(
         y, pooled = _chunked_call(
             qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G, scale=scale,
             bits=bits, need_attn=need_attn, chunk=_DECODE_CHUNK,
-            interpret=interpret,
+            interpret=interpret, i8dot=i8dot,
         )
         out = y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype)
         if not need_attn:

@@ -264,3 +264,35 @@ def test_i8dot_matches_dequant_path(bits, need_attn):
     assert np.abs(np.asarray(y1) - np.asarray(y0)).max() / ref < 0.03
     if need_attn:
         assert np.abs(np.asarray(p1) - np.asarray(p0)).max() < 0.02
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_i8dot_chunked_matches_dequant_path(bits):
+    """i8dot through the CHUNKED online-softmax kernel (long caches whose
+    K+V exceed the one-shot budget): int8 chunk scores + unnormalized-e
+    value dots vs the dequant chunk path."""
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    B, KVH, C, D, G = 1, 2, 4 * da._DECODE_CHUNK, 64, 4
+    H = KVH * G
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D,
+                      filled=3 * da._DECODE_CHUNK + 17)
+    args = (
+        q, state.k, state.v, state.k_scales, state.k_zeros,
+        state.v_scales, state.v_zeros, state.mask,
+    )
+    y1, p1 = quantized_decode_attention(
+        *args, bits=bits, need_attn=True, interpret=True, chunked=True,
+        i8dot=True,
+    )
+    y0, p0 = quantized_decode_attention(
+        *args, bits=bits, need_attn=True, interpret=True, chunked=True,
+        i8dot=False,
+    )
+    ref = np.abs(np.asarray(y0)).max() + 1e-9
+    assert np.abs(np.asarray(y1) - np.asarray(y0)).max() / ref < 0.03
+    assert np.abs(np.asarray(p1) - np.asarray(p0)).max() < 0.02
