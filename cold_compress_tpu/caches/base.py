@@ -309,17 +309,37 @@ def protect_and_prefer_empty(
 
 
 def store_kv_rows(
-    state: CacheState, idx: jax.Array, k_row: jax.Array, v_row: jax.Array
+    state: CacheState,
+    idx: jax.Array,
+    k_row: jax.Array,
+    v_row: jax.Array,
+    skip: Optional[jax.Array] = None,
 ) -> CacheState:
     """Scatter one K/V row per (batch, head) into slot ``idx``.
 
     Quantizes only the inserted row — unlike the reference, which dequantizes
     and re-quantizes the whole cache every step (cache.py:323-339).
+
+    ``skip`` [B, H] bool marks heads whose slot must stay BYTE-identical
+    (the hybrid cache's dropping heads, which reuse slot C-1 as a dummy
+    target): the incumbent row/scales are pre-gathered at ``idx`` and
+    written back — O(row) work per head. The post-hoc full-cache where()
+    this replaces re-materialized every K/V buffer each decode step
+    (~4 GB/token HBM traffic at C=8192; hybrid decoded 54.8 vs full's
+    70.7 tok/s in the r4 batch-A measurement).
     """
     spec = state.spec
     if spec.quantized:
         qk, ks, kz = quantize_rows(k_row, spec.cache_bits)
         qv, vs, vz = quantize_rows(v_row, spec.cache_bits)
+        if skip is not None:
+            row = skip[..., None]
+            qk = jnp.where(row, gather_scalar(state.k, idx), qk)
+            qv = jnp.where(row, gather_scalar(state.v, idx), qv)
+            ks = jnp.where(skip, gather_scalar(state.k_scales, idx), ks)
+            kz = jnp.where(skip, gather_scalar(state.k_zeros, idx), kz)
+            vs = jnp.where(skip, gather_scalar(state.v_scales, idx), vs)
+            vz = jnp.where(skip, gather_scalar(state.v_zeros, idx), vz)
         return state.replace(
             k=scatter_rows(state.k, idx, qk),
             v=scatter_rows(state.v, idx, qv),
@@ -328,9 +348,15 @@ def store_kv_rows(
             v_scales=scatter_scalar(state.v_scales, idx, vs),
             v_zeros=scatter_scalar(state.v_zeros, idx, vz),
         )
+    k_new = k_row.astype(state.k.dtype)
+    v_new = v_row.astype(state.v.dtype)
+    if skip is not None:
+        row = skip[..., None]
+        k_new = jnp.where(row, gather_scalar(state.k, idx), k_new)
+        v_new = jnp.where(row, gather_scalar(state.v, idx), v_new)
     return state.replace(
-        k=scatter_rows(state.k, idx, k_row.astype(state.k.dtype)),
-        v=scatter_rows(state.v, idx, v_row.astype(state.v.dtype)),
+        k=scatter_rows(state.k, idx, k_new),
+        v=scatter_rows(state.v, idx, v_new),
     )
 
 

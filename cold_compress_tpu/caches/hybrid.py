@@ -389,24 +389,13 @@ class HybridCache(HeavyHitterCache):
 
         # ---- apply ---------------------------------------------------------
         # Dropping heads must leave the cache byte-identical (slot C-1 may
-        # hold a real row once a head reaches full occupancy), so keep the
-        # pre-scatter buffers and revert them per head.
-        old_k, old_v = state.k, state.v
-        old_q = (state.k_scales, state.k_zeros, state.v_scales, state.v_zeros)
-        state = store_kv_rows(state, fill_idx, k[:, :, 0], v[:, :, 0])
-        sel_row = drop[..., None, None]
-        sel_scl = drop[..., None]
-        revert = dict(
-            k=jnp.where(sel_row, old_k, state.k),
-            v=jnp.where(sel_row, old_v, state.v),
+        # hold a real row once a head reaches full occupancy):
+        # store_kv_rows(skip=drop) pre-gathers the incumbent row and writes
+        # it back — O(row) per head, vs the r3 post-hoc full-cache where()
+        # that re-materialized every K/V buffer each step.
+        state = store_kv_rows(
+            state, fill_idx, k[:, :, 0], v[:, :, 0], skip=drop
         )
-        if state.k_scales is not None:
-            revert.update(
-                k_scales=jnp.where(sel_scl, old_q[0], state.k_scales),
-                k_zeros=jnp.where(sel_scl, old_q[1], state.k_zeros),
-                v_scales=jnp.where(sel_scl, old_q[2], state.v_scales),
-                v_zeros=jnp.where(sel_scl, old_q[3], state.v_zeros),
-            )
         new_pos = jnp.where(
             drop,
             gather_scalar(state.pos, fill_idx),
@@ -423,7 +412,6 @@ class HybridCache(HeavyHitterCache):
             # occupancy no longer grows (ADVICE r1 — unclamped counts skewed
             # budget checks and compression stats).
             cache_ct=jnp.minimum(ct + append.astype(jnp.int32), C),
-            **revert,
         )
 
         new_extra = dict(state.extra)

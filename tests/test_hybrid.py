@@ -357,3 +357,65 @@ class TestProfilePassParity:
             np.asarray(got_scores), np.asarray(want_scores),
             rtol=2e-4, atol=2e-5,
         )
+
+
+def test_dummy_slot_drop_quantized_byte_identity():
+    """skip=drop in store_kv_rows must preserve PACKED bytes and scale
+    sidecars exactly for dropping heads on a quantized cache (the r4
+    rewrite replaced the full-cache revert select with a per-row
+    write-back; this pins the quantized path it must not disturb)."""
+    C, KVH, D = 8, 2, 4
+    menu = [{"strategy": "special_punc"}, {"strategy": "full"}]
+    spec = CacheSpec(
+        cache_strategy="hybrid",
+        max_cache_length=C,
+        max_seq_length=64,
+        global_tokens=2,
+        cache_bits=8,
+        hybrid_strategies=normalize_hybrid_strategies(menu),
+        token_ids_special=((9,),),
+        token_ids_punc=(46,),
+    )
+    state = HybridCache.init(spec, 1, KVH, D, jnp.float32)
+    rng = np.random.RandomState(0)
+    extra = dict(state.extra)
+    extra["strategy_idx"] = jnp.asarray([[0, 1]], jnp.int32)
+    extra["punc_mask"] = (
+        jnp.zeros((1, KVH, C), bool).at[0, 0, 2:4].set(True)
+    )
+    extra["num_punc"] = jnp.asarray([2], jnp.int32)
+    state = state.replace(
+        k=jnp.asarray(rng.randint(0, 256, state.k.shape), state.k.dtype),
+        v=jnp.asarray(rng.randint(0, 256, state.v.shape), state.v.dtype),
+        k_scales=jnp.asarray(rng.rand(1, KVH, C), jnp.float32),
+        k_zeros=jnp.asarray(rng.rand(1, KVH, C), jnp.float32),
+        v_scales=jnp.asarray(rng.rand(1, KVH, C), jnp.float32),
+        v_zeros=jnp.asarray(rng.rand(1, KVH, C), jnp.float32),
+        pos=jnp.broadcast_to(jnp.arange(C)[None, None], (1, KVH, C)),
+        mask=jnp.ones((1, KVH, C), bool),
+        cache_ct=jnp.full((1, KVH), C, jnp.int32),
+        extra=extra,
+    )
+    before = {
+        f: np.asarray(getattr(state, f)).copy()
+        for f in ("k", "v", "k_scales", "k_zeros", "v_scales", "v_zeros",
+                  "pos", "mask")
+    }
+    new_row = jnp.full((1, KVH, 1, D), 0.37, jnp.float32)
+    state2, *_ = HybridCache.decode_update(
+        state, jnp.int32(C), new_row, new_row,
+        token=jnp.asarray([5], jnp.int32),
+    )
+    # Punc head (0): every buffer byte-identical.
+    for f, want in before.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state2, f))[0, 0], want[0, 0], err_msg=f
+        )
+    assert int(state2.cache_ct[0, 0]) == C
+    # Full head (1): the appended row dequantizes back to ~0.37.
+    from cold_compress_tpu.caches.base import materialize_kv
+
+    kf, _ = materialize_kv(state2, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(kf)[0, 1, C - 1], 0.37, atol=0.01
+    )
