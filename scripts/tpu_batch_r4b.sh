@@ -64,7 +64,11 @@ run bench_split4  env CCT_QMM_SPLIT=4 python -u bench.py
 # 4. Combined best-candidate config: split + i8dot kv8.
 run bench_combo   env CCT_QMM_SPLIT=2 CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
 
-# 5. i8dot task quality on trained weights (TinyByteLM, TPU): ppl must
+# 5. Hybrid decode after the per-row drop write-back (batch A with the
+#    full-cache revert selects: 54.79 tok/s; target ~= full's 70.7).
+run bench_hybrid2 python -u bench.py --strategy hybrid
+
+# 6. i8dot task quality on trained weights (TinyByteLM, TPU): ppl must
 #    match the plain kv8 row (4.011) to keep i8dot default-eligible.
 LEG_TIMEOUT=7200 run quality_i8dot python scripts/quality_ab.py \
   --matrix main --device tpu --filter i8dot
