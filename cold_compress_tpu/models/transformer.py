@@ -186,10 +186,10 @@ def attention_prefill(
     q, k, v = _qkv(cfg, p, x, freqs)
 
     if hasattr(strategy, "profile_prefill"):
-        # Hybrid/FastGen: profiling replaces compression+fill entirely; the
-        # attention output itself never needs probabilities returned.
-        y, _ = prefill_attention(q, k, v, valid, prompt_len)
-        cache = strategy.profile_prefill(
+        # Hybrid/FastGen: profiling replaces compression+fill entirely.
+        # The fused path computes attention AND the profile accumulators in
+        # one flash pass (caches/hybrid.py::profile_prefill_with_attn).
+        y, cache = strategy.profile_prefill_with_attn(
             spec, cache, q, k, v, tokens, input_pos, valid, prompt_len
         )
         y = y.transpose(0, 2, 1, 3).reshape(B, P, cfg.n_head * cfg.head_dim)

@@ -37,7 +37,8 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, wc_ref, wo_ref, y_ref, cum_ref, obs_ref,
-            *, BQ, BK, G, scale, with_summary):
+            *win_refs, BQ, BK, G, scale, with_summary, with_obs=True,
+            window_lens=()):
     qb = pl.program_id(2)
     P = k_ref.shape[2]
     D = k_ref.shape[3]
@@ -48,6 +49,8 @@ def _kernel(q_ref, k_ref, v_ref, wc_ref, wo_ref, y_ref, cum_ref, obs_ref,
         def _():
             cum_ref[...] = jnp.zeros_like(cum_ref)
             obs_ref[...] = jnp.zeros_like(obs_ref)
+            for wr in win_refs:
+                wr[...] = jnp.zeros_like(wr)
 
     q = q_ref[0, 0]  # [R, D] bf16
     # Global query position per row and causal column limit.
@@ -103,11 +106,29 @@ def _kernel(q_ref, k_ref, v_ref, wc_ref, wo_ref, y_ref, cum_ref, obs_ref,
             cum_blk = jnp.dot(
                 wc_rows, p, preferred_element_type=jnp.float32
             )  # [1, BK]
-            obs_blk = jnp.dot(
-                wo_rows, p, preferred_element_type=jnp.float32
-            )
             cum_ref[0, 0, 0, pl.ds(kb * BK, BK)] += cum_blk[0]
-            obs_ref[0, 0, 0, pl.ds(kb * BK, BK)] += obs_blk[0]
+            if with_obs:
+                obs_blk = jnp.dot(
+                    wo_rows, p, preferred_element_type=jnp.float32
+                )
+                obs_ref[0, 0, 0, pl.ds(kb * BK, BK)] += obs_blk[0]
+            if window_lens:
+                # Hybrid (FastGen) profiling: per distinct recent-window
+                # length w, the column mass restricted to keys inside the
+                # query's window — pooled/validity-weighted exactly like
+                # cum (caches/hybrid.py::_profile_partial's wcols).
+                col_pos = kb * BK + jax.lax.broadcasted_iota(
+                    jnp.int32, (R, BK), 1
+                )
+                for wi, w in enumerate(window_lens):
+                    in_win = jnp.logical_and(
+                        col_pos <= row_pos, col_pos > row_pos - w
+                    )
+                    win_blk = jnp.dot(
+                        wc_rows, jnp.where(in_win, p, 0.0),
+                        preferred_element_type=jnp.float32,
+                    )
+                    win_refs[wi][0, 0, 0, pl.ds(kb * BK, BK)] += win_blk[0]
             return 0
 
         jax.lax.fori_loop(0, n_kb, body2, 0)
@@ -225,6 +246,116 @@ def flash_prefill(
         "cum_mean": cum / denom[:, None, :],
     }
     return y, summary
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_lens", "block_q", "block_k", "interpret"),
+)
+def flash_profile(
+    q: jax.Array,  # [B, H, P, D]
+    k: jax.Array,  # [B, KVH, P, D]
+    v: jax.Array,
+    prompt_len: jax.Array,  # scalar or [B]
+    window_lens: tuple = (),
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Fused attention + FastGen profiling: ONE flash pass returns
+    (y [B, H, P, D], cum [B, KVH, P], wcols [W, B, KVH, P]) where cum and
+    wcols are the RAW hybrid profile accumulators
+    (caches/hybrid.py::_profile_partial's contract). The XLA profile pass
+    materializes per-chunk f32 probability tiles in HBM (~32 GB of
+    traffic at 8k — hybrid prefill measured 157 tok/s vs the 6.9k of
+    non-profiled prefill, r4 batch A); here probabilities never leave
+    VMEM and the window masks are [R, BK]-local iota compares."""
+    B, H, P, D = q.shape
+    KVH = k.shape[1]
+    G = H // KVH
+    scale = 1.0 / math.sqrt(D)
+    BQ = min(block_q, P)
+    BK = min(block_k, P)
+    assert P % BQ == 0 and P % BK == 0
+    W = len(window_lens)
+
+    plen = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(prompt_len, jnp.int32)), (B,)
+    )
+    pos = jnp.arange(P, dtype=jnp.int32)
+    wc1 = (pos[None, :] < plen[:, None]).astype(jnp.float32) / G
+    expand = lambda a: jnp.broadcast_to(  # noqa: E731
+        jnp.repeat(a, G, axis=-1)[:, None], (B, 8, P * G)
+    )
+    wc = expand(wc1)
+
+    qf = (
+        q.reshape(B, KVH, G, P, D)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, KVH, P * G, D)
+        .astype(jnp.bfloat16)
+    )
+    kf = k.astype(jnp.bfloat16)
+    vf = v.astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _kernel, BQ=BQ, BK=BK, G=G, scale=scale, with_summary=True,
+        with_obs=False, window_lens=tuple(window_lens),
+    )
+    R = BQ * G
+    grid = (B, KVH, P // BQ)
+    sum_spec = pl.BlockSpec((1, 1, 8, P), lambda b, h, j: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sum_shape = jax.ShapeDtypeStruct((B, KVH, 8, P), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, R, D), lambda b, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, D), lambda b, h, j: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, D), lambda b, h, j: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P * G), lambda b, h, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P * G), lambda b, h, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, R, D), lambda b, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            sum_spec,
+            sum_spec,
+        ] + [sum_spec] * W,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, P * G, D), jnp.bfloat16),
+            sum_shape,
+            sum_shape,
+        ] + [sum_shape] * W,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(3 + W) * B * H * P * P * D,
+            bytes_accessed=2 * (B * H * P * D * 2 + B * KVH * P * D * 2),
+            transcendentals=2 * B * H * P * P,
+        ),
+    )(qf, kf, vf, wc, wc)
+    y, cum = outs[0], outs[1]
+    wcols = outs[3:]
+
+    y = (
+        y.reshape(B, KVH, P, G, D)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, H, P, D)
+        .astype(q.dtype)
+    )
+    cum = cum[:, :, 0]
+    wstack = (
+        jnp.stack([wr[:, :, 0] for wr in wcols])
+        if W
+        else jnp.zeros((0, B, KVH, P), jnp.float32)
+    )
+    return y, cum, wstack
 
 
 def flash_prefill_supported(q_shape, need_summary: bool = True) -> bool:

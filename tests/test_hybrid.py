@@ -419,3 +419,65 @@ def test_dummy_slot_drop_quantized_byte_identity():
     np.testing.assert_allclose(
         np.asarray(kf)[0, 1, C - 1], 0.37, atol=0.01
     )
+
+
+def test_flash_profile_matches_xla_profile():
+    """Fused flash profiling kernel (interpret) == the streaming XLA
+    profile pass: attention output, cum, and per-window accumulators."""
+    from cold_compress_tpu.caches.hybrid import (
+        _profile_partial,
+        _profile_windows,
+    )
+    from cold_compress_tpu.ops.attention import prefill_attention
+    from cold_compress_tpu.ops.pallas_prefill import flash_profile
+
+    B, KVH, G, P, D = 1, 2, 2, 512, 128
+    H = KVH * G
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(B, H, P, D).astype(np.float32) / 8)
+    k = jnp.asarray(rng.randn(B, KVH, P, D).astype(np.float32) / 8)
+    v = jnp.asarray(rng.randn(B, KVH, P, D).astype(np.float32) / 8)
+    plen = jnp.int32(P - 37)
+    valid = (jnp.arange(P) < plen)[None]
+    spec = CacheSpec(
+        max_cache_length=P,
+        hybrid_strategies=normalize_hybrid_strategies(
+            [{"strategy": "window", "recent_window": 0.1},
+             {"strategy": "window_heavy_hitter", "recent_window": 0.25,
+              "heavy_hitter_frac": 0.25},
+             {"strategy": "full"}]
+        ),
+    )
+    _, uniq_w = _profile_windows(spec, P)
+    assert len(uniq_w) == 2
+    y1, cum1, w1 = flash_profile(
+        q, k, v, plen, window_lens=tuple(uniq_w), interpret=True
+    )
+    cum0, w0 = _profile_partial(spec, q, k, plen)
+    y0, _ = prefill_attention(q, k, v, valid, plen)
+    scale = np.abs(np.asarray(cum0)).max() + 1e-9
+    assert np.abs(np.asarray(cum1) - np.asarray(cum0)).max() / scale < 5e-3
+    assert np.abs(np.asarray(w1) - np.asarray(w0)).max() / scale < 5e-3
+    yd = np.abs(np.asarray(y1, np.float32) - np.asarray(y0, np.float32))
+    # bf16 kernel vs the (f32-capable) XLA path on valid rows only.
+    assert yd[:, :, : int(plen)].max() < 0.03
+
+
+def test_hybrid_generation_flash_vs_xla_profile(tiny_model, monkeypatch):
+    """End-to-end hybrid generation through the fused flash-profile path
+    (interpret) must pick the same policies and emit the same tokens as
+    the XLA profile pass."""
+    cfg, params, rope = tiny_model
+    specs, _ = hybrid_setup(cfg)
+    prompt = [256] + list(range(1, 40)) + [46, 7, 257, 9]
+
+    def run():
+        _, caches = hybrid_setup(cfg)
+        seq, _, caches = generate(cfg, params, rope, caches, prompt, 8)
+        return seq, np.asarray(LV(caches, 0).extra["strategy_idx"]).tolist()
+
+    seq_xla, pol_xla = run()
+    monkeypatch.setenv("CCT_PALLAS_INTERPRET", "1")
+    seq_flash, pol_flash = run()
+    assert pol_flash == pol_xla
+    assert seq_flash == seq_xla
