@@ -48,6 +48,14 @@ TILE_OUT = 256
 #                     index maps). The single-pipeline rate on this
 #                     backend caps well below what the part streams for
 #                     a fused XLA dot; N=2 doubles in-flight block DMAs.
+#                     Measured WORSE in production (91.38 vs 92.3, r3):
+#                     same-buffer aliasing defeats the DMA pipeline.
+#   CCT_QMM_SPLIT   — N>1 splits each stacked cpt leaf's tile axis into N
+#                     PHYSICALLY SEPARATE HBM buffers at repack time
+#                     (ops/linear.py::to_cpt_split), the multi-stream
+#                     layout probe8 found profitable; the decode kernel
+#                     then runs one DMA chain per buffer
+#                     (qmm_w4a8_cpt_split).
 _VMEM_MB = int(os.environ.get("CCT_QMM_VMEM_MB", "0"))
 _TILE_ENV = int(os.environ.get("CCT_QMM_TILE", "0"))
 _STREAMS = int(os.environ.get("CCT_QMM_STREAMS", "1"))
