@@ -68,9 +68,12 @@ run bench_combo   env CCT_QMM_SPLIT=2 CCT_ATTN_I8DOT=1 python -u bench.py --cach
 #    full-cache revert selects: 54.79 tok/s; target ~= full's 70.7).
 run bench_hybrid2 python -u bench.py --strategy hybrid
 
-# 6. i8dot task quality on trained weights (TinyByteLM, TPU): ppl must
-#    match the plain kv8 row (4.011) to keep i8dot default-eligible.
-LEG_TIMEOUT=7200 run quality_i8dot python scripts/quality_ab.py \
-  --matrix main --device tpu --filter i8dot
+# 6. KV-quantization quality on trained weights (TinyByteLM, TPU), all
+#    rows re-run on the CURRENT corpus (the r4 corpus-budget fix changed
+#    the eval text, so r3's absolute ppls are not comparable): bf16
+#    baseline + cache_bits 8/4/2 + the kv8 i8dot row. i8dot stays
+#    default-eligible only if its ppl matches plain kv8.
+LEG_TIMEOUT=10800 run quality_kv python scripts/quality_ab.py \
+  --matrix main --device tpu
 
 echo "=== BATCH R4B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
