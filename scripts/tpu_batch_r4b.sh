@@ -49,6 +49,9 @@ run() {
 
 echo "=== BATCH R4B start $(date -u +%FT%TZ)" | tee -a "$SUM"
 
+# 0. Batch-A legs lost to tunnel wedges (no metric in their logs).
+run bench_4kf2    python -u bench.py --context 4096 --strategy full
+
 # 1. Plain kv8 (batch A's leg died in a wedge; r3 one-shot ref: 94.97).
 run bench_kv8b    python -u bench.py --cache_bits 8
 
