@@ -443,6 +443,16 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
     Dp = kq.shape[3]
     S = int(os.environ.get("CCT_ATTN_STREAMS", "1"))
     S = S if (S > 1 and NC % S == 0) else 1
+    # Double-buffered per-step blocks: S x (K + V + meta) in, (e, aux)
+    # out, plus q/o/scratch. Wide adaptive chunks (>512 at 16k+ contexts)
+    # exceed Mosaic's 16 MB default.
+    blk = 2 * KVH * chunk * Dp * kq.dtype.itemsize + KVH * 8 * chunk * 4
+    ch_vmem = 2 * S * blk + 2 * KVH * 8 * (chunk + 128) * 4 + 8 * 2**20
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=min(ch_vmem, 100 * 2**20))
+        if ch_vmem > 16 * 2**20
+        else None
+    )
     cost = pl.CostEstimate(
         flops=4 * B * KVH * 8 * C * D,
         bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
@@ -501,6 +511,7 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=scratch,
+            compiler_params=params,
             interpret=interpret,
             cost_estimate=cost,
         )(qf, *operands)
@@ -542,6 +553,7 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
             ],
             out_shape=out_shapes,
             scratch_shapes=scratch,
+            compiler_params=params,
             interpret=interpret,
             cost_estimate=cost,
         )(qf, kq, vq, meta)
@@ -564,6 +576,30 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
 #: 2 chunks long take the chunked path (DMA/compute overlap), shorter
 #: ones the one-shot kernel.
 _DECODE_CHUNK = 512
+
+
+def _pick_chunk(C: int, KVH: int, Dp: int, itemsize: int) -> int:
+    """Adaptive cache-axis chunk width for the pipelined kernel.
+
+    Grid steps carry ~8.6 us fixed overhead on this backend (module
+    header): at 16k+ contexts a fixed 512-wide chunk spends more time on
+    grid steps than on bytes (32 chunks x 32 layers ~ 8.8 ms/token — the
+    full-cache @16k leg measured 41.65 tok/s where bytes alone price
+    ~10 ms). Grow the chunk until ~8 steps remain or the double-buffered
+    K+V blocks stop fitting a raised scoped-vmem limit.
+    CCT_ATTN_CHUNK forces a width (must divide C)."""
+    env = int(os.environ.get("CCT_ATTN_CHUNK", "0"))
+    if env and C % env == 0 and C // env >= 2:
+        return env
+    chunk = _DECODE_CHUNK
+    while (
+        C // chunk > 8
+        and chunk < 4096
+        and C % (chunk * 2) == 0
+        and 2 * KVH * (chunk * 2) * Dp * itemsize <= 16 * 2**20
+    ):
+        chunk *= 2
+    return chunk
 
 
 @functools.partial(
@@ -647,7 +683,8 @@ def quantized_decode_attention(
     if chunked:
         y, pooled = _chunked_call(
             qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G, scale=scale,
-            bits=bits, need_attn=need_attn, chunk=_DECODE_CHUNK,
+            bits=bits, need_attn=need_attn,
+            chunk=_pick_chunk(C, KVH, kq.shape[3], kq.dtype.itemsize),
             interpret=interpret, i8dot=i8dot,
         )
         out = y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype)

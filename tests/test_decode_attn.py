@@ -296,3 +296,42 @@ def test_i8dot_chunked_matches_dequant_path(bits):
     ref = np.abs(np.asarray(y0)).max() + 1e-9
     assert np.abs(np.asarray(y1) - np.asarray(y0)).max() / ref < 0.03
     assert np.abs(np.asarray(p1) - np.asarray(p0)).max() < 0.02
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+def test_adaptive_chunk_matches_oneshot(bits):
+    """Long caches pick a wider chunk (_pick_chunk: C=8192 -> 1024-wide,
+    8 grid steps instead of 16); the online softmax must still match the
+    one-shot kernel."""
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    B, KVH, C, D, G = 1, 1, 8192, 128, 4
+    assert da._pick_chunk(C, KVH, D, 2) == 1024
+    H = KVH * G
+    rng = np.random.RandomState(13)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    if bits == 16:
+        kv = rng.randn(2, B, KVH, C, D) / 8
+        args = (q, jnp.asarray(kv[0], jnp.bfloat16),
+                jnp.asarray(kv[1], jnp.bfloat16), None, None, None, None,
+                jnp.broadcast_to(jnp.asarray(np.arange(C) < C - 99),
+                                 (B, KVH, C)))
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=C - 99)
+        args = (q, state.k, state.v, state.k_scales, state.k_zeros,
+                state.v_scales, state.v_zeros, state.mask)
+    y1, p1 = quantized_decode_attention(
+        *args, bits=bits, need_attn=True, interpret=True, chunked=True,
+    )
+    y0, p0 = quantized_decode_attention(
+        *args, bits=bits, need_attn=True, interpret=True, chunked=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=2e-2,
+        atol=2e-3 * np.abs(np.asarray(y0)).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p0), atol=1e-5
+    )
