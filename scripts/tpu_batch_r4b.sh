@@ -52,6 +52,11 @@ echo "=== BATCH R4B start $(date -u +%FT%TZ)" | tee -a "$SUM"
 # 0. Batch-A legs lost to tunnel wedges (no metric in their logs).
 run bench_4kf2    python -u bench.py --context 4096 --strategy full
 
+# 0b. Full-cache 16k under adaptive attention chunks (batch A measured
+#     41.65 with fixed 512-wide chunks = 32 grid steps; reference
+#     compiled full @16k = 50.18, blogpost_perf.py:7).
+run bench31_16kf2 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full
+
 # 1. Plain kv8 (batch A's leg died in a wedge; r3 one-shot ref: 94.97).
 run bench_kv8b    python -u bench.py --cache_bits 8
 
