@@ -36,6 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _flash_vmem_params(P, D, G, BQ, n_sums):
+    """Explicit scoped-vmem limit for the flash kernels: the whole K/V for
+    one (b, kvh) program stays VMEM-resident by design, which passes
+    Mosaic's 16 MB default only up to ~16k context (the 32k bench leg
+    failed compile: 17 MB needed). Budget = K+V + q/y tiles + the
+    full-P weight rows and summary outputs + slack."""
+    need = (
+        2 * P * D * 2               # K + V (bf16)
+        + 2 * BQ * G * D * 2        # q + y tiles
+        + 2 * 8 * P * G * 4         # wc + wo weight rows
+        + n_sums * 8 * P * 4        # summary output blocks
+        + 6 * 2**20
+    )
+    if need <= 16 * 2**20:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, 110 * 2**20)
+    )
+
+
 def _kernel(q_ref, k_ref, v_ref, wc_ref, wo_ref, y_ref, cum_ref, obs_ref,
             *win_refs, BQ, BK, G, scale, with_summary, with_obs=True,
             window_lens=()):
@@ -221,6 +241,7 @@ def flash_prefill(
             jax.ShapeDtypeStruct((B, KVH, 8, P), jnp.float32),
             jax.ShapeDtypeStruct((B, KVH, 8, P), jnp.float32),
         ],
+        compiler_params=_flash_vmem_params(P, D, G, BQ, 2),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(3 if need_summary else 2) * B * H * P * P * D,
@@ -333,6 +354,7 @@ def flash_profile(
             sum_shape,
             sum_shape,
         ] + [sum_shape] * W,
+        compiler_params=_flash_vmem_params(P, D, G, BQ, 2 + W),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(3 + W) * B * H * P * P * D,
@@ -365,4 +387,11 @@ def flash_prefill_supported(q_shape, need_summary: bool = True) -> bool:
     if not backend_ok():
         return False
     B, H, P, D = q_shape
-    return D % 128 == 0 and P % 512 == 0 and P >= 512
+    return (
+        D % 128 == 0
+        and P % 512 == 0
+        and P >= 512
+        # K/V residency cap (see _flash_vmem_params): past ~64k context
+        # the one-shot design stops fitting even with a raised limit.
+        and 2 * P * D * 2 + 2 * 8 * P * 4 * 4 <= 100 * 2**20
+    )
