@@ -52,6 +52,11 @@ echo "=== BATCH R4B start $(date -u +%FT%TZ)" | tee -a "$SUM"
 # 0. Batch-A legs lost to tunnel wedges (no metric in their logs).
 run bench_4kf2    python -u bench.py --context 4096 --strategy full
 
+# 0a. 32k legs (batch A failed compile: flash_prefill scoped-vmem OOM at
+#     P=32768, fixed by the explicit vmem limit).
+LEG_TIMEOUT=3600 run bench31_32k2  python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768
+LEG_TIMEOUT=3600 run bench31_32kf2 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --strategy full
+
 # 0b. Full-cache 16k under adaptive attention chunks (batch A measured
 #     41.65 with fixed 512-wide chunks = 32 grid steps; reference
 #     compiled full @16k = 50.18, blogpost_perf.py:7).
