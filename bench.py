@@ -140,9 +140,12 @@ def main():
         max_seq_length=args.context,
         token_ids=token_ids,
     )
-    caches = T.init_caches(cfg, specs, batch_size=args.batch,
-                           dtype=jnp.bfloat16)
-    if T.is_stacked(caches):
+    # Repack params BEFORE allocating the caches: the repack chain
+    # (stack -> fuse -> colpack -> cpt -> tiled head) transiently holds
+    # ~2x the packed weights, and a 32k full-cache run's 4.3 GB KV
+    # buffers on top of that OOM'd the 16 GB chip (r4 batch A).
+    stacked = len(set(specs)) == 1  # init_caches' stacking criterion
+    if stacked:
         params = T.fuse_layer_params(T.stack_layer_params(params))
         from cold_compress_tpu.ops.pallas_qmm import force_interpret
         if jax.default_backend() == "tpu" or force_interpret():
@@ -156,6 +159,9 @@ def main():
             if tiled_head_enabled():
                 params = T.tile_output_head(params)
         log("using stacked (scan-over-layers) execution, fused projections")
+    jax.block_until_ready(jax.tree.leaves(params)[0])  # transients freed
+    caches = T.init_caches(cfg, specs, batch_size=args.batch,
+                           dtype=jnp.bfloat16)
 
     prompt_len = args.context - args.decode_tokens - 8
     rng = np.random.RandomState(0)
