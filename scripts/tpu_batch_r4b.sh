@@ -90,3 +90,15 @@ LEG_TIMEOUT=10800 run quality_kv python scripts/quality_ab.py \
   --matrix main --device tpu
 
 echo "=== BATCH R4B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
+
+# 7. eval_8b retry (batch A hit RESOURCE_EXHAUSTED — possibly residual
+#    allocations from the 32kf OOM crash immediately before it; bench.py
+#    now also repacks before allocating caches).
+LEG_TIMEOUT=5400 run eval_8b2 python -u eval.py \
+  --random_weights Meta-Llama-3-8B-Instruct --random_quantize int4 \
+  --tasks rulerniah rulerqa localtext --num_samples 2 \
+  --cache_strategy heavy_hitter --max_cache_length 0.25 \
+  --prompt_compression_strategy heavy_hitter \
+  --out_dir results/eval_8b_tpu --overwrite
+
+echo "=== BATCH R4B DONE(2) $(date -u +%FT%TZ)" | tee -a "$SUM"
