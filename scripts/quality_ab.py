@@ -46,6 +46,11 @@ CONFIGS = [
      ["--cache_bits", "8"], {"CCT_ATTN_I8DOT": "1"}),
     ("int8 full", "model_int8.npz", []),
     ("int4 full", "model_int4.g64.npz", []),
+    # Staged prefill kernel (int8 activations x packed int4 bytes): a
+    # numerics change at prefill — the ppl delta vs "int4 full" is its
+    # task-quality validation (PERF.md staged-kernel table).
+    ("int4 full prefill_w4a8", "model_int4.g64.npz", [],
+     {"CCT_PREFILL_W4A8": "1"}),
     ("int4-gptq full", "model_int4-gptq.g64.npz", []),
 ]
 
@@ -179,6 +184,13 @@ def main():
     for cfg_row in configs:
         label, ckpt, extra = cfg_row[:3]
         env = cfg_row[3] if len(cfg_row) > 3 else None
+        if args.device == "cpu" and env and any(
+            k in env for k in ("CCT_ATTN_I8DOT", "CCT_PREFILL_W4A8")
+        ):
+            # Kernel-gated rows are only meaningful through the Pallas
+            # kernels; on CPU that requires interpret mode (backend_ok
+            # gate) — without it they silently measure the XLA math path.
+            env = {**env, "CCT_PALLAS_INTERPRET": "1"}
         rows[label] = run_one(label, ckpt, extra, args.device,
                               args.num_samples, args.out, env=env)
         print(f"    -> {rows[label]}", flush=True)

@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-4 TPU batch C: follow-ups that depend on batch B's outcomes —
+# the staged prefill W4A8 kernel's perf leg (its numerics validation runs
+# on CPU via scripts/quality_ab.py), the fat-tile weight-stream retry
+# PERF.md prescribes (TO=2048 under a raised vmem limit), stream/split
+# compositions for the 528 -> >=580 GB/s weight-stream goal (VERDICT
+# item 6), and a final plain bench.py so the driver's BENCH_r04 capture
+# starts from a warm compile cache.
+set -u
+OUT=/root/repo/results/tpu_batch_r4
+mkdir -p "$OUT"
+cd /root/repo
+SUM=$OUT/summary_c.log
+
+ping_tpu() {
+  timeout 420 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.full((256, 256), 2.0, jnp.bfloat16)
+assert float(np.asarray(x @ x).sum()) > 0
+print('ping ok')
+" > "$OUT/ping.log" 2>&1
+}
+
+run() {
+  name=$1; shift
+  if [ -f "$OUT/$name.log" ] && grep -q '"metric"\|RESULT_OK' "$OUT/$name.log"; then
+    echo "=== $name: already done, skipping" | tee -a "$SUM"
+    return
+  fi
+  if [ -n "${DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "=== $name: SKIPPED (past DEADLINE_EPOCH; freeing the chip)" | tee -a "$SUM"
+    return
+  fi
+  echo "=== $name: $*" | tee -a "$SUM"
+  timeout "${LEG_TIMEOUT:-2400}" "$@" > "$OUT/$name.log" 2>&1
+  rc=$?
+  tail -5 "$OUT/$name.log" | grep -v WARNING | tee -a "$SUM"
+  echo "--- rc=$rc" | tee -a "$SUM"
+  ok=""
+  for attempt in 1 2 3 4 5 6; do
+    if ping_tpu; then ok=1; break; fi
+    echo "    ping $attempt failed after $name; retrying" | tee -a "$SUM"
+    sleep 120
+  done
+  if [ -z "$ok" ]; then
+    echo "!!! tunnel wedged after $name — aborting batch" | tee -a "$SUM"
+    exit 1
+  fi
+}
+
+echo "=== BATCH R4C start $(date -u +%FT%TZ)" | tee -a "$SUM"
+
+# 1. Prefill W4A8 (decode path unchanged; read prefill_toks_per_sec from
+#    the config blob — baseline ~6.8k tok/s @8k).
+run bench_pw4a8   env CCT_PREFILL_W4A8=1 python -u bench.py
+
+# 2. Fat-tile weight-stream retry (PERF.md: "Retry only with
+#    CCT_QMM_VMEM_MB=100"; default tiles break double-buffering at
+#    4.2 MB blocks under the 16 MB limit).
+run bench_fattile env CCT_QMM_VMEM_MB=100 CCT_QMM_TILE=2048 python -u bench.py
+
+# 3. Stream/split compositions (probe8: multi-stream only pays with
+#    genuinely separate buffers; split gives each stream its own buffer).
+run bench_sp2st2  env CCT_QMM_SPLIT=2 CCT_QMM_STREAMS=2 python -u bench.py
+
+echo "=== BATCH R4C DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
+
+# 4. Leave the chip on the driver's exact configuration: one plain run so
+#    BENCH_r04's compile is a cache hit.
+run bench_final   python -u bench.py
+
+echo "=== BATCH R4C DONE(2) $(date -u +%FT%TZ)" | tee -a "$SUM"
