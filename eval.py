@@ -111,7 +111,7 @@ def args_to_str(args) -> str:
     return "__".join(sorted(parts)) + debug_suffix
 
 
-def _prepared_params(args, params_box, caches):
+def _prepared_params(args, params_box, stacked: bool):
     """Transform the weight tree for the stacked (scan-over-layers) path
     ONCE per eval invocation, not once per task.
 
@@ -120,10 +120,16 @@ def _prepared_params(args, params_box, caches):
     — at 8B-int4 scale that exhausted the chip's HBM (r3 eval_8b batch).
     The box caches the prepared tree and drops the raw reference, so
     steady-state is 1x model bytes. All tasks in one invocation share
-    args, so the stacking decision and transform key are invariant."""
+    args, so the stacking decision and transform key are invariant.
+
+    Each transform stage is synced (block_until_ready) and its input tree
+    dropped before the next stage runs: with everything dispatched async,
+    raw+stacked+fused trees coexisted (~3x packed bytes ≈ 15 GB at
+    8B-int4) and the r4 eval_8b leg OOM'd the 16 GB chip during prefill
+    (results/tpu_batch_r4/eval_8b2.log). Sequenced, the peak is 2x."""
     import jax
 
-    if not T.is_stacked(caches):
+    if not stacked:
         assert "raw" in params_box, (
             "Stacking decision changed between tasks of one invocation — "
             "the raw tree was already dropped."
@@ -132,19 +138,24 @@ def _prepared_params(args, params_box, caches):
     single = args.tp == 1 and args.dp == 1
     key = "stacked_fused" if single else "stacked"
     if key not in params_box:
-        p = T.stack_layer_params(params_box["raw"])
+        p = params_box.pop("raw")
+
+        def step(fn, tree):
+            out = jax.block_until_ready(fn(tree))
+            return out
+
+        p = step(T.stack_layer_params, p)
         if single:
-            p = T.fuse_layer_params(p)  # see generate.py
+            p = step(T.fuse_layer_params, p)  # see generate.py
             from cold_compress_tpu.ops.pallas_qmm import (
                 force_interpret,
                 tiled_head_enabled,
             )
             if jax.default_backend() == "tpu" or force_interpret():
-                p = T.colpack_layer_params(p)
+                p = step(T.colpack_layer_params, p)
                 if tiled_head_enabled():
-                    p = T.tile_output_head(p)
+                    p = step(T.tile_output_head, p)
         params_box[key] = p
-        params_box.pop("raw", None)
     return params_box[key]
 
 
@@ -217,8 +228,12 @@ def run_task(
         and not args.decode_first_token
     )
     bs = args.batch_size if use_batch else 1
+    # Params BEFORE caches (mirrors bench.py): the repack chain's
+    # transients plus live KV buffers OOM'd the chip at 8B scale.
+    params = _prepared_params(
+        args, params_box, stacked=len(set(specs)) == 1
+    )
     caches = T.init_caches(cfg, specs, batch_size=bs)
-    params = _prepared_params(args, params_box, caches)
     tp_ctx = None
     if args.tp > 1 and getattr(args, "tp_kernels", False):
         if args.dp > 1:
