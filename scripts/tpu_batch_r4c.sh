@@ -50,6 +50,16 @@ run() {
 
 echo "=== BATCH R4C start $(date -u +%FT%TZ)" | tee -a "$SUM"
 
+# 0. eval_8b retry under the sequenced-repack + caches-after-params
+#    eval.py fix (batch B's attempt OOM'd during prefill: async repack
+#    chain held raw+stacked+fused trees ≈ 3x packed bytes).
+LEG_TIMEOUT=5400 run eval_8b3 python -u eval.py \
+  --random_weights Meta-Llama-3-8B-Instruct --random_quantize int4 \
+  --tasks rulerniah rulerqa localtext --num_samples 2 \
+  --cache_strategy heavy_hitter --max_cache_length 0.25 \
+  --prompt_compression_strategy heavy_hitter \
+  --out_dir results/eval_8b_tpu --overwrite
+
 # 1. Prefill W4A8 (decode path unchanged; read prefill_toks_per_sec from
 #    the config blob — baseline ~6.8k tok/s @8k).
 run bench_pw4a8   env CCT_PREFILL_W4A8=1 python -u bench.py
