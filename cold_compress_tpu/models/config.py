@@ -208,6 +208,23 @@ MODEL_CONFIGS = {
         norm_eps=1e-5,
         max_length=2048,
     ),
+    # head_dim=128 variant: the Pallas decode-attention kernels gate on
+    # D % 128 == 0 (ops/pallas_decode_attn.py::decode_attn_supported), so
+    # quality A/Bs of the quantized-KV kernel paths (i8dot score dots)
+    # need a TRAINED fixture whose shapes actually route through them —
+    # TinyByteLM's head_dim=64 silently falls back to the XLA math path.
+    "TinyByteLM128": dict(
+        block_size=2048,
+        n_layer=6,
+        n_head=2,
+        n_kv_head=1,
+        dim=256,
+        intermediate_size=768,
+        vocab_size=512,
+        rope_base=10000.0,
+        norm_eps=1e-5,
+        max_length=2048,
+    ),
     # Tiny fixtures for tests / CI (TPU build's own test strategy; the
     # reference has none, SURVEY.md §4).
     "TestTiny": dict(

@@ -20,6 +20,7 @@ PartitionSpecs — see parallel/mesh.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -297,12 +298,19 @@ def attention_decode(
         quantized_decode_attention,
     )
 
-    if (
-        attn_top_k >= 1.0
-        and decode_attn_supported(
-            spec, q.shape, cache.k.shape[2], cache.k.shape[1]
+    fused_ok = attn_top_k >= 1.0 and decode_attn_supported(
+        spec, q.shape, cache.k.shape[2], cache.k.shape[1]
+    )
+    if os.environ.get("CCT_ATTN_DEBUG", "0") == "1":
+        # Trace-time routing witness (once per compile): quality A/Bs of
+        # kernel numerics are vacuous if the gate silently falls back to
+        # the XLA math path (e.g. head_dim 64 models).
+        print(
+            f"[attn-route] fused={fused_ok} C={cache.k.shape[2]} "
+            f"D={q.shape[-1]} bits={spec.cache_bits or 16}",
+            flush=True,
         )
-    ):
+    if fused_ok:
         # Fused path for quantized AND bf16 caches: packed caches never
         # leave their quantized form in HBM (XLA dead-code-eliminates
         # decode_update's unused materialized k_cache/v_cache), and bf16

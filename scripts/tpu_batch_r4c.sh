@@ -60,6 +60,32 @@ LEG_TIMEOUT=5400 run eval_8b3 python -u eval.py \
   --prompt_compression_strategy heavy_hitter \
   --out_dir results/eval_8b_tpu --overwrite
 
+# 0b. Train the head_dim-128 fixture on-chip (TinyByteLM's head_dim=64
+#     cannot route through the decode-attention kernels — D%128 gate —
+#     so every TinyByteLM kv-quant ppl row measured the XLA math path,
+#     not the kernels the production 8B config runs).
+LEG_TIMEOUT=3600 run train128 python -u scripts/train_tiny.py --model TinyByteLM128
+
+# 0c. KV-quant quality through the REAL kernel path (C=1024 aligned,
+#     head_dim=128, CCT_ATTN_DEBUG prints the routing witness):
+#     bf16 vs kv8 vs kv8+i8dot vs kv4 vs kv4+i8dot.
+Q128="tests/fixtures/TinyByteLM128-hf/model.npz"
+QOUT=/root/repo/results/quality_kv128
+qeval() { # qeval <name> <cache_bits|-> [VAR=val ...]
+  name=$1; bits=$2; shift 2
+  extra=()
+  [ "$bits" != "-" ] && extra=(--cache_bits "$bits")
+  run "$name" env CCT_ATTN_DEBUG=1 "$@" python -u eval.py \
+    --checkpoint_path "$Q128" --model_name TinyByteLM128 \
+    --tasks localtext --num_samples 8 --seq_length 512 \
+    --out_dir "$QOUT/$name" --overwrite "${extra[@]}"
+}
+qeval q128_bf16  -
+qeval q128_kv8   8
+qeval q128_kv8i8 8 CCT_ATTN_I8DOT=1
+qeval q128_kv4   4
+qeval q128_kv4i8 4 CCT_ATTN_I8DOT=1
+
 # 1. Prefill W4A8 (decode path unchanged; read prefill_toks_per_sec from
 #    the config blob — baseline ~6.8k tok/s @8k).
 run bench_pw4a8   env CCT_PREFILL_W4A8=1 python -u bench.py

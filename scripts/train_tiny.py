@@ -189,6 +189,12 @@ def main():
     ap.add_argument("--out", type=Path, default=Path("tests/fixtures"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--model", default="TinyByteLM",
+        help="Registry config to train (e.g. TinyByteLM128, the "
+        "head_dim-128 variant whose shapes route through the Pallas "
+        "decode-attention kernels).",
+    )
+    ap.add_argument(
         "--device", default="auto", choices=["auto", "cpu", "tpu"],
         help="cpu forces the host backend in-process (JAX_PLATFORMS is "
         "ignored once the axon plugin registers; see tests/conftest.py).",
@@ -199,7 +205,7 @@ def main():
 
     import optax
 
-    cfg = ModelConfig.from_name("TinyByteLM")
+    cfg = ModelConfig.from_name(args.model)
     print(f"backend: {jax.default_backend()}  cfg: {cfg.name} "
           f"L={cfg.n_layer} D={cfg.dim}")
     train, val = load_corpus()
@@ -263,16 +269,16 @@ def main():
     params_np = jax.tree.map(
         lambda a: np.asarray(a, np.float32), params
     )
-    hf_dir = args.out / "TinyByteLM-hf"
+    hf_dir = args.out / f"{args.model}-hf"
     export_hf(cfg, params_np, hf_dir)
 
     # Round-trip through the real converter and check logits parity.
     from scripts.convert_hf_checkpoint import convert_hf_checkpoint
 
-    npz = convert_hf_checkpoint(hf_dir, model_name="TinyByteLM")
+    npz = convert_hf_checkpoint(hf_dir, model_name=args.model)
     from cold_compress_tpu.runtime.engine import load_model
 
-    cfg2, params2, rope2 = load_model(npz, model_name="TinyByteLM")
+    cfg2, params2, rope2 = load_model(npz, model_name=args.model)
     probe = vtokens[:2, :128]
     ref = np.asarray(lm_logits(cfg, params, rope, probe))
     got = np.asarray(
