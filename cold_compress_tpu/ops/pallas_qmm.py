@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,11 @@ TILE_OUT = 256
 #                     a fused XLA dot; N=2 doubles in-flight block DMAs.
 #                     Measured WORSE in production (91.38 vs 92.3, r3):
 #                     same-buffer aliasing defeats the DMA pipeline.
+#   CCT_QMM_INKQ    — move activation quantization + block-diagonal
+#                     layout + scale epilogue INSIDE the cpt kernel
+#                     (grid-step-0 VMEM scratch) so the per-projection
+#                     glue overlaps the weight-block DMAs instead of
+#                     stalling the stream between kernels.
 #   CCT_QMM_SPLIT   — N>1 splits each stacked cpt leaf's tile axis into N
 #                     PHYSICALLY SEPARATE HBM buffers at repack time
 #                     (ops/linear.py::to_cpt_split), the multi-stream
@@ -575,7 +581,7 @@ def qmm_w4a8_cp_stacked(x, w_stack, s_stack, z_stack, layer_idx,
 
 
 def _cpt_tile_body(xbd_ref, xs_ref, w_ref, m_ref, o_ref, *, group_size,
-                   n_groups, groups_per_chunk, rows_l):
+                   n_groups, groups_per_chunk, rows_l, sx_ref=None):
     """Column-packed dual-dot for one contiguous [IN, TOh] tile with the
     fused metadata sidecar. Writes o_ref [2, L, TOh] (plane 0 = low-half
     columns) exactly like _cp_tile_body."""
@@ -606,8 +612,16 @@ def _cpt_tile_body(xbd_ref, xs_ref, w_ref, m_ref, o_ref, *, group_size,
     xs = xs_ref[...]
     zt_lo = m_ref[0, 0, pl.ds(2 * ngf, ngf), :].astype(jnp.float32)
     zt_hi = m_ref[0, 0, pl.ds(3 * ngf, ngf), :].astype(jnp.float32)
-    o_ref[0] = acc_lo + jnp.dot(xs, zt_lo)
-    o_ref[1] = acc_hi + jnp.dot(xs, zt_hi)
+    out0 = acc_lo + jnp.dot(xs, zt_lo)
+    out1 = acc_hi + jnp.dot(xs, zt_hi)
+    if sx_ref is not None:
+        # In-kernel activation-quant variant: the per-row scale lives in
+        # VMEM scratch and folds into the store, replacing the wrapper's
+        # (y * sx) epilogue.
+        out0 = out0 * sx_ref[...]
+        out1 = out1 * sx_ref[...]
+    o_ref[0] = out0
+    o_ref[1] = out1
 
 
 def _cpt_kernel(idx_ref, xbd_ref, xs_ref, w_ref, m_ref, o_ref, *,
@@ -615,6 +629,51 @@ def _cpt_kernel(idx_ref, xbd_ref, xs_ref, w_ref, m_ref, o_ref, *,
     _cpt_tile_body(
         xbd_ref, xs_ref, w_ref, m_ref, o_ref, group_size=group_size,
         n_groups=n_groups, groups_per_chunk=groups_per_chunk, rows_l=rows_l,
+    )
+
+
+def _cpt_kernel_inkq(idx_ref, x_ref, w_ref, m_ref, o_ref,
+                     xbd_scr, xs_scr, sx_scr, *, group_size, n_groups,
+                     groups_per_chunk, rows_l):
+    """cpt dual-dot with IN-KERNEL activation quantization.
+
+    The out-of-kernel prologue (per-row int8 quantization, block-diagonal
+    activation layout, per-group row sums) and the (y * sx) epilogue are
+    serialized XLA ops BETWEEN weight-streaming kernels: nothing overlaps
+    them, so each projection's DMA pipeline sits idle while they run
+    (~0.5 ms/token of the 6.6 ms weight stream at 8B — p11 production
+    6.60 ms vs probe9 bare kernels 6.04, PERF.md round-3 decomposition).
+    Here grid step 0 computes them on the VPU into VMEM scratch WHILE the
+    auto-pipeline's first weight-block DMAs are already in flight, and the
+    scale folds into the output store.
+    """
+    gs, ngf, ngc, L = group_size, n_groups, groups_per_chunk, rows_l
+
+    @pl.when(pl.program_id(0) == 0)
+    def _prologue():
+        xf = x_ref[...].astype(jnp.float32)  # [L, IN]
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(absmax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        sx_scr[...] = sx
+        x3 = xq.reshape(L, ngf, gs)
+        xs_scr[...] = jnp.sum(x3.astype(jnp.float32), axis=-1)
+        # Block-diagonal layout (same construction as the wrapper's
+        # out-of-kernel xbd): group g of row l lands at row g*L + l,
+        # column band (g % ngc) * gs.
+        xt = x3.transpose(1, 0, 2)  # [ngf, L, gs]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (ngf, ngc), 0) % ngc
+            == jax.lax.broadcasted_iota(jnp.int32, (ngf, ngc), 1)
+        ).astype(jnp.int8)
+        xbd_scr[...] = (
+            onehot[:, None, :, None] * xt[:, :, None, :]
+        ).reshape(ngf * L, ngc * gs)
+
+    _cpt_tile_body(
+        xbd_scr, xs_scr, w_ref, m_ref, o_ref, group_size=group_size,
+        n_groups=n_groups, groups_per_chunk=groups_per_chunk, rows_l=rows_l,
+        sx_ref=sx_scr,
     )
 
 
@@ -631,14 +690,22 @@ def _cpt_kernel_ms(idx_ref, xbd_ref, xs_ref, *refs, group_size, n_groups,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "inkq")
+)
 def qmm_w4a8_cpt(x, w_tiles, meta, layer_idx, group_size: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, inkq: Optional[bool] = None):
     """x [L, IN] @ layer ``layer_idx`` of cpt-layout int4 stacks.
 
     w_tiles [NL, T, IN, TOh] int8 colpack bytes, contiguous per (layer,
     tile); meta [NL, T, 4*ngf, TOh] fused sidecar (see module comment).
     Returns [L, 2*T*TOh] f32 with low-half columns first.
+
+    ``inkq=None`` defers to the CCT_QMM_INKQ env gate (trace-time, so the
+    env must be process-constant; tests pass it explicitly): activation
+    quantization + block-diagonal layout + scale epilogue move inside the
+    kernel (grid step 0, VMEM scratch) so they overlap the first weight
+    block DMAs instead of stalling the stream between kernels.
     """
     true_L = x.shape[0]
     if true_L > 1:
@@ -650,6 +717,48 @@ def qmm_w4a8_cpt(x, w_tiles, meta, layer_idx, group_size: int = 128,
     ngf = IN // gs
     ngc = max(1, min(ngf, 128 // L, 4096 // gs))
     CH = ngc * gs
+
+    if inkq is None:
+        inkq = os.environ.get("CCT_QMM_INKQ", "0") == "1"
+    if inkq and _STREAMS <= 1:
+        cost = pl.CostEstimate(
+            flops=2 * L * IN * OUTh * 2,
+            bytes_accessed=IN * OUTh + L * IN + L * OUTh * 8,
+            transcendentals=0,
+        )
+        idx_arg = jnp.asarray([layer_idx], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((L, IN), lambda j, idx: (0, 0)),
+                pl.BlockSpec(
+                    (1, 1, IN, TOh), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 4 * ngf, TOh), lambda j, idx: (idx[0], j, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((2, L, TOh), lambda j, idx: (0, 0, j)),
+            scratch_shapes=[
+                pltpu.VMEM((ngf * L, CH), jnp.int8),
+                pltpu.VMEM((L, ngf), jnp.float32),
+                pltpu.VMEM((L, 1), jnp.float32),
+            ],
+        )
+        y = pl.pallas_call(
+            functools.partial(
+                _cpt_kernel_inkq, group_size=gs, n_groups=ngf,
+                groups_per_chunk=ngc, rows_l=L,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((2, L, OUTh), jnp.float32),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(idx_arg, x, w_tiles, meta)
+        y = y.transpose(1, 0, 2).reshape(L, 2 * OUTh)
+        return y[:true_L]
 
     xq, sx = _quantize_rows(x)
     xs = jnp.sum(

@@ -95,9 +95,15 @@ run bench_pw4a8   env CCT_PREFILL_W4A8=1 python -u bench.py
 #    4.2 MB blocks under the 16 MB limit).
 run bench_fattile env CCT_QMM_VMEM_MB=100 CCT_QMM_TILE=2048 python -u bench.py
 
-# 3. Stream/split compositions (probe8: multi-stream only pays with
-#    genuinely separate buffers; split gives each stream its own buffer).
-run bench_sp2st2  env CCT_QMM_SPLIT=2 CCT_QMM_STREAMS=2 python -u bench.py
+# (split/stream compositions dropped: batch B refuted the split-buffer
+#  layout outright — split2 89.37, split4 71.41 vs 98.03 single-stream.)
+
+# 3. In-kernel activation quantization: the per-projection glue
+#    (quantize + block-diag layout + scale epilogue) moves into the
+#    kernel's grid step 0 so it overlaps the first weight-block DMAs —
+#    targets the 0.56 ms/token production-vs-bare-kernel gap (PERF.md).
+run bench_inkq    env CCT_QMM_INKQ=1 python -u bench.py
+run bench_inkq8  env CCT_QMM_INKQ=1 CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
 
 echo "=== BATCH R4C DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 

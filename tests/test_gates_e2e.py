@@ -39,6 +39,7 @@ ALL_GATES = (
     "CCT_TILED_HEAD",
     "CCT_PREFILL_W4A8",
     "CCT_QMM_CPT",
+    "CCT_QMM_INKQ",
 )
 
 PROMPT = np.random.RandomState(0).randint(2, 500, size=300).tolist()
@@ -199,3 +200,36 @@ def test_prefill_w4a8_kernel_end_to_end(kernel_model, monkeypatch):
     )
     np.testing.assert_allclose(e1, e0, atol=8e-2)
     np.testing.assert_allclose(f1, f0, atol=8e-2)
+
+
+def test_int4_cpt_inkq_end_to_end(kernel_model, monkeypatch):
+    """CCT_QMM_INKQ=1 on top of the cpt layout: activation quantization,
+    block-diagonal layout, and the scale epilogue run inside the kernel's
+    grid step 0 (VMEM scratch). Same math as the out-of-kernel prologue
+    (bit-level parity is test_qmm_cpt_inkq_matches_outofkernel); this
+    drives the wiring through generate()."""
+    cfg, params, rope = kernel_model
+    qp = quantize_params(params, mode="int4", group_size=128,
+                         output_mode="int4")
+    s0, e0, f0 = run(
+        cfg, qp, rope,
+        {
+            "CCT_PALLAS_INTERPRET": "1",
+            "CCT_TILED_HEAD": "1",
+            "CCT_QMM_CPT": "1",
+        },
+        teacher_force=True, monkeypatch=monkeypatch,
+    )
+    s1, e1, f1 = run(
+        cfg, qp, rope,
+        {
+            "CCT_PALLAS_INTERPRET": "1",
+            "CCT_TILED_HEAD": "1",
+            "CCT_QMM_CPT": "1",
+            "CCT_QMM_INKQ": "1",
+        },
+        teacher_force=True, monkeypatch=monkeypatch,
+    )
+    assert s1 == s0
+    np.testing.assert_allclose(e1, e0, atol=1e-3)
+    np.testing.assert_allclose(f1, f0, atol=1e-3)

@@ -319,3 +319,30 @@ def test_colpack_layer_params_split_routing(monkeypatch):
         if is_quantized(leaf) and leaf.kind == "int4"
     }
     assert run(fused) == run(cp), layouts
+
+
+@pytest.mark.parametrize("L", [1, 9])
+def test_qmm_cpt_inkq_matches_outofkernel(L):
+    """In-kernel activation quantization (CCT_QMM_INKQ path) is
+    bit-identical to the out-of-kernel prologue/epilogue: same per-row
+    scale formula, same block-diagonal layout, scale folded into the
+    store. L=9 exercises the row-padding path (padded rows quantize to
+    zeros and are sliced off)."""
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_cpt
+
+    rng = np.random.RandomState(33)
+    _, stacked, _ = _cpt_split_fixture(rng)
+    x = jnp.asarray(rng.randn(L, 512).astype(np.float32) * 0.3)
+    for i in range(2):
+        ref = np.asarray(
+            qmm_w4a8_cpt(
+                x, stacked.w, stacked.scales, i, interpret=True, inkq=False
+            )
+        )
+        got = np.asarray(
+            qmm_w4a8_cpt(
+                x, stacked.w, stacked.scales, i, interpret=True, inkq=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"layer {i}")
