@@ -105,9 +105,17 @@ run bench_fattile env CCT_QMM_VMEM_MB=100 CCT_QMM_TILE=2048 python -u bench.py
 run bench_inkq    env CCT_QMM_INKQ=1 python -u bench.py
 run bench_inkq8  env CCT_QMM_INKQ=1 CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
 
+# 4. Long-context full-cache attention levers (16k measured 45.68 with
+#    adaptive 2048-chunks; reference compiled full @16k = 50.18; roofline
+#    ~80 — the chunked kernel is far off its DMA roof). A/B the staged
+#    multi-stream KV DMA and a forced 4096-wide chunk (4 grid steps).
+run bench16kf_s2   env CCT_ATTN_STREAMS=2 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full
+run bench16kf_c4   env CCT_ATTN_CHUNK=4096 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full
+run bench16kf_s2c4 env CCT_ATTN_STREAMS=2 CCT_ATTN_CHUNK=4096 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full
+
 echo "=== BATCH R4C DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 
-# 4. Leave the chip on the driver's exact configuration: one plain run so
+# 5. Leave the chip on the driver's exact configuration: one plain run so
 #    BENCH_r04's compile is a cache hit.
 run bench_final   python -u bench.py
 
