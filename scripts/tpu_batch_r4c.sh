@@ -105,6 +105,15 @@ run bench_fattile env CCT_QMM_VMEM_MB=100 CCT_QMM_TILE=2048 python -u bench.py
 run bench_inkq    env CCT_QMM_INKQ=1 python -u bench.py
 run bench_inkq8  env CCT_QMM_INKQ=1 CCT_ATTN_I8DOT=1 python -u bench.py --cache_bits 8
 
+# 3b. Fixed-ABSOLUTE-budget compressed legs: the reference's flat
+#     decode-vs-context curve holds the compressed cache CONSTANT
+#     (0.52 GB at every context, blogpost_perf.py:12); our fractional
+#     25% budget grows with context (32k leg: 68.9 tok/s at a 8192-row
+#     cache). max_cache_length > 1 is absolute (engine parity), so
+#     budget 2048 = the 8k default's cache at every context.
+run bench31_16k_b2k python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --budget_frac 2048
+run bench31_32k_b2k python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --budget_frac 2048
+
 # 4. Long-context full-cache attention levers (16k measured 45.68 with
 #    adaptive 2048-chunks; reference compiled full @16k = 50.18; roofline
 #    ~80 — the chunked kernel is far off its DMA roof). A/B the staged
