@@ -639,9 +639,16 @@ def quantized_decode_attention(
 
     # i8dot=None defers to the env gate — resolved at TRACE time, so the
     # env must be process-constant (tests pass i8dot explicitly: it is a
-    # static cache key, the env is not).
+    # static cache key, the env is not). Default ON for int8 caches since
+    # r4: measured +13 tok/s (93.9 -> 106.9 end-to-end at 8B) and
+    # ppl-lossless through the real kernel on trained weights (+0.02% vs
+    # plain kv8, results/quality_kv128). For 4/2-bit caches the added
+    # query/prob quantization costs ~0.85% ppl on top of the cache's own
+    # rounding, so it stays opt-in (CCT_ATTN_I8DOT=1: +11% decode).
     if i8dot is None:
-        i8dot = os.environ.get("CCT_ATTN_I8DOT", "0") == "1"
+        i8dot = os.environ.get(
+            "CCT_ATTN_I8DOT", "1" if bits == 8 else "0"
+        ) == "1"
     i8dot = bool(i8dot) and bits in (2, 4, 8)
     maskf = mask.astype(jnp.float32)
     if bits == 16:

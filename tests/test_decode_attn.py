@@ -322,11 +322,17 @@ def test_adaptive_chunk_matches_oneshot(bits):
         state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=C - 99)
         args = (q, state.k, state.v, state.k_scales, state.k_zeros,
                 state.v_scales, state.v_zeros, state.mask)
+    # i8dot pinned off: chunked-vs-oneshot under i8dot differ by per-chunk
+    # prob-quantization rounding (each path picks its own int8 prob scale);
+    # that cross-path delta is bounded by test_i8dot_chunked_matches_
+    # dequant_path. This test isolates the online-softmax recombination.
     y1, p1 = quantized_decode_attention(
         *args, bits=bits, need_attn=True, interpret=True, chunked=True,
+        i8dot=False,
     )
     y0, p0 = quantized_decode_attention(
         *args, bits=bits, need_attn=True, interpret=True, chunked=False,
+        i8dot=False,
     )
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), rtol=2e-2,

@@ -40,6 +40,7 @@ ALL_GATES = (
     "CCT_PREFILL_W4A8",
     "CCT_QMM_CPT",
     "CCT_QMM_INKQ",
+    "CCT_ATTN_I8DOT",
 )
 
 PROMPT = np.random.RandomState(0).randint(2, 500, size=300).tolist()
@@ -176,12 +177,25 @@ def test_quantized_cache_decode_attention(kernel_model, monkeypatch):
     cfg, params, rope = kernel_model
     s0, e0, f0 = run(cfg, params, rope, {}, cache_bits=8,
                      teacher_force=True, monkeypatch=monkeypatch)
+    # i8dot defaults ON for int8 caches since r4; pin it off here so this
+    # stays a pure dequant-kernel-vs-math parity check (the i8dot paths
+    # have their own exact A/Bs in test_decode_attn.py).
     s1, e1, f1 = run(
-        cfg, params, rope, {"CCT_PALLAS_INTERPRET": "1"},
+        cfg, params, rope,
+        {"CCT_PALLAS_INTERPRET": "1", "CCT_ATTN_I8DOT": "0"},
         cache_bits=8, teacher_force=True, monkeypatch=monkeypatch,
     )
     np.testing.assert_allclose(e1, e0, atol=2e-2)
     np.testing.assert_allclose(f1, f0, atol=2e-2)
+    # And the default (i8dot) int8-cache route end-to-end: int8-MXU score
+    # and value dots add per-row query/prob quantization — wider tolerance,
+    # same greedy behavior expected at this scale.
+    s2, e2, f2 = run(
+        cfg, params, rope, {"CCT_PALLAS_INTERPRET": "1"},
+        cache_bits=8, teacher_force=True, monkeypatch=monkeypatch,
+    )
+    np.testing.assert_allclose(e2, e0, atol=8e-2)
+    np.testing.assert_allclose(f2, f0, atol=8e-2)
 
 
 def test_prefill_w4a8_kernel_end_to_end(kernel_model, monkeypatch):
