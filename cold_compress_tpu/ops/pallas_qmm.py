@@ -654,21 +654,35 @@ def _cpt_kernel_inkq(idx_ref, x_ref, w_ref, m_ref, o_ref,
         xf = x_ref[...].astype(jnp.float32)  # [L, IN]
         absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         sx = jnp.maximum(absmax, 1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        # Keep the quantized values in f32 until the final store: Mosaic
+        # only supports non-no-op shape insertion/broadcast for 32-bit
+        # types ("Insertion of minor dim ... only supported for 32-bit
+        # types" on int8 — hardware-compile-only, interpret passes).
+        xqf = jnp.clip(jnp.round(xf / sx), -127, 127)
         sx_scr[...] = sx
-        x3 = xq.reshape(L, ngf, gs)
-        xs_scr[...] = jnp.sum(x3.astype(jnp.float32), axis=-1)
-        # Block-diagonal layout (same construction as the wrapper's
-        # out-of-kernel xbd): group g of row l lands at row g*L + l,
-        # column band (g % ngc) * gs.
-        xt = x3.transpose(1, 0, 2)  # [ngf, L, gs]
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (ngf, ngc), 0) % ngc
-            == jax.lax.broadcasted_iota(jnp.int32, (ngf, ngc), 1)
-        ).astype(jnp.int8)
-        xbd_scr[...] = (
-            onehot[:, None, :, None] * xt[:, :, None, :]
-        ).reshape(ngf * L, ngc * gs)
+        xs_scr[...] = jnp.sum(xqf.reshape(L, ngf, gs), axis=-1)
+        # Block-diagonal layout, built per chunk: within chunk c the
+        # destination column band of group g0+i IS its source columns, so
+        # each chunk block is a pure mask-select of its broadcast slice —
+        # no per-row shifts, major-dim broadcasts only.
+        n_chunks = -(-ngf // ngc)
+        for c in range(n_chunks):
+            g0 = c * ngc
+            ng = min(ngc, ngf - g0)
+            xc = xqf[:, g0 * gs:(g0 + ng) * gs]  # [L, ng*gs]
+            rep = jnp.broadcast_to(
+                xc[None], (ng, L, ng * gs)
+            ).reshape(ng * L, ng * gs)
+            rowg = jax.lax.broadcasted_iota(
+                jnp.int32, (ng * L, ng * gs), 0
+            ) // L
+            colg = jax.lax.broadcasted_iota(
+                jnp.int32, (ng * L, ng * gs), 1
+            ) // gs
+            blk = jnp.where(rowg == colg, rep, 0.0)
+            xbd_scr[pl.ds(g0 * L, ng * L), pl.ds(0, ng * gs)] = (
+                blk.astype(jnp.int8)
+            )
 
     _cpt_tile_body(
         xbd_scr, xs_scr, w_ref, m_ref, o_ref, group_size=group_size,

@@ -346,3 +346,32 @@ def test_qmm_cpt_inkq_matches_outofkernel(L):
         )
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6,
                                    err_msg=f"layer {i}")
+
+
+def test_qmm_cpt_inkq_partial_chunk():
+    """inkq prologue with ngf % ngc != 0 (production w1/w3: IN=14336 ->
+    chunks 32,32,32,16): the partial chunk writes only its ng*gs columns
+    and the tile body must read exactly those."""
+    import dataclasses
+
+    from cold_compress_tpu.ops.linear import to_cpt
+    from cold_compress_tpu.ops.pallas_qmm import qmm_w4a8_cpt
+
+    rng = np.random.RandomState(77)
+    IN, OUT, L = 1792, 512, 9  # pads to L=16 -> ngc=8, chunks (8, 6)
+    leaves = [_leaf(rng, IN, OUT) for _ in range(2)]
+    cpts = [to_cpt(to_colpack(lf), tile_out=128) for lf in leaves]
+    stacked = dataclasses.replace(
+        cpts[0], w=jnp.stack([c.w for c in cpts]),
+        scales=jnp.stack([c.scales for c in cpts]),
+    )
+    x = jnp.asarray(rng.randn(L, IN).astype(np.float32) * 0.3)
+    ref = np.asarray(
+        qmm_w4a8_cpt(x, stacked.w, stacked.scales, 1, interpret=True,
+                     inkq=False)
+    )
+    got = np.asarray(
+        qmm_w4a8_cpt(x, stacked.w, stacked.scales, 1, interpret=True,
+                     inkq=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
