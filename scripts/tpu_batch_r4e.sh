@@ -69,4 +69,25 @@ run bench32kf_c4 env CCT_ATTN_CHUNK=4096 python -u bench.py --model Meta-Llama-3
 #    delta prices the chunk-path overhead with everything else equal.
 run bench8k_forcechunk env CCT_ATTN_OS_BUDGET_MB=0 python -u bench.py --cache_bits 16
 
+# 4. Re-run the TinyByteLM128 kernel-path quality A/B (batch C ran it but
+#    the metrics files were lost with that workspace — only the tok/s
+#    logs were committed). Cheap legs; metrics land in
+#    results/quality_kv128/ and get committed this time.
+Q128="tests/fixtures/TinyByteLM128-hf/model.npz"
+QOUT=/root/repo/results/quality_kv128
+qeval() { # qeval <name> <cache_bits|-> [VAR=val ...]
+  name=$1; bits=$2; shift 2
+  extra=()
+  [ "$bits" != "-" ] && extra=(--cache_bits "$bits")
+  run "$name" env CCT_ATTN_DEBUG=1 "$@" python -u eval.py \
+    --checkpoint_path "$Q128" --model_name TinyByteLM128 \
+    --tasks localtext --num_samples 8 --seq_length 512 \
+    --out_dir "$QOUT/$name" --overwrite "${extra[@]}"
+}
+qeval q128_bf16b  -
+qeval q128_kv8b   8
+qeval q128_kv8i8b 8 CCT_ATTN_I8DOT=1
+qeval q128_kv4b   4
+qeval q128_kv4i8b 4 CCT_ATTN_I8DOT=1
+
 echo "=== BATCH R4E DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
