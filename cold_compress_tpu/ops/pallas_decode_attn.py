@@ -572,8 +572,117 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
     return y, pooled
 
 
+def _kernel_manual(q_ref, kq_hbm, vq_hbm, meta_hbm, o_ref,
+                   kbuf, vbuf, mbuf, acc_ref, m_ref, l_ref, sem,
+                   *, KVH, G, scale, bits, i8dot, chunk, n_chunks):
+    """Manual double-buffered chunked attention: grid (B,) — ONE program,
+    a ``fori_loop`` over cache chunks with explicit ``make_async_copy``
+    prefetch of chunk c+1 while chunk c computes.
+
+    Rationale: the grid-based chunked kernel pays the backend's
+    multi-microsecond fixed cost per grid step AND leaves the overlap
+    decision to Mosaic's implicit pipeline, which measured ~116 GB/s
+    effective on the 32k full-cache leg vs a ~600 GB/s roof (PERF.md
+    round-4). Here the pipeline is explicit: two VMEM slots per operand,
+    chunk c+1's three DMAs issued before chunk c's compute begins.
+    Online-softmax state lives in scratch; compute reuses _chunk_step
+    with ``need_attn=False`` (pooled probabilities need the e-blocks in
+    HBM — callers that want them take the grid kernel)."""
+    b = pl.program_id(0)
+
+    def dmas(slot, c):
+        start = c * chunk
+        return (
+            pltpu.make_async_copy(
+                kq_hbm.at[b, :, pl.ds(start, chunk), :],
+                kbuf.at[slot, 0], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                vq_hbm.at[b, :, pl.ds(start, chunk), :],
+                vbuf.at[slot, 0], sem.at[slot, 1]),
+            pltpu.make_async_copy(
+                meta_hbm.at[b, :, :, pl.ds(start, chunk)],
+                mbuf.at[slot, 0], sem.at[slot, 2]),
+        )
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    for d in dmas(0, 0):
+        d.start()
+
+    def loop(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            for d in dmas(jax.lax.rem(c + 1, 2), c + 1):
+                d.start()
+
+        for d in dmas(slot, c):
+            d.wait()
+        for h in range(KVH):
+            _chunk_step(
+                q_ref, kbuf.at[slot], vbuf.at[slot], mbuf.at[slot],
+                None, None, acc_ref, m_ref, l_ref, h,
+                scale=scale, bits=bits, need_attn=False, i8dot=i8dot,
+            )
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, loop, 0)
+    for h in range(KVH):
+        o_ref[0, h] = acc_ref[h] / jnp.maximum(l_ref[h, :, 0:1], 1e-30)
+
+
+def _manual_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
+                 chunk, interpret, i8dot=False):
+    """pallas_call wrapper for _kernel_manual (need_attn=False only)."""
+    NC = C // chunk
+    Dp = kq.shape[3]
+    blk = (2 * KVH * chunk * Dp * kq.dtype.itemsize  # K+V slot
+           + KVH * 8 * chunk * 4)                    # meta slot (f32)
+    vmem = 2 * blk + 4 * KVH * 8 * (D + 256) * 4 + 8 * 2**20
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(vmem, 16 * 2**20), 100 * 2**20)
+    )
+    kernel = functools.partial(
+        _kernel_manual, KVH=KVH, G=G, scale=scale, bits=bits,
+        i8dot=i8dot, chunk=chunk, n_chunks=NC,
+    )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, KVH, 8, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            hbm_spec, hbm_spec, hbm_spec,
+        ],
+        out_specs=pl.BlockSpec((1, KVH, 8, D), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, KVH, chunk, Dp), kq.dtype),
+            pltpu.VMEM((2, 1, KVH, chunk, Dp), vq.dtype),
+            pltpu.VMEM((2, 1, KVH, 8, chunk), jnp.float32),
+            pltpu.VMEM((KVH, 8, D), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KVH * 8 * C * D,
+            bytes_accessed=2 * B * KVH * C * Dp * kq.dtype.itemsize
+            + B * KVH * C * 4 * 4,
+            transcendentals=B * KVH * 8 * C,
+        ),
+    )(qf, kq, vq, meta)
+    return y
+
+
 #: Cache-axis chunk width for the pipelined kernel; caches at least
-#: 2 chunks long take the chunked path (DMA/compute overlap), shorter
+#: 2 chunks long take the pipelined path (DMA/compute overlap), shorter
 #: ones the one-shot kernel.
 _DECODE_CHUNK = 512
 
@@ -688,10 +797,21 @@ def quantized_decode_attention(
             ):
                 chunked = False
     if chunked:
+        chunk = _pick_chunk(C, KVH, kq.shape[3], kq.dtype.itemsize)
+        if not need_attn and os.environ.get("CCT_ATTN_MANUAL", "0") == "1":
+            # Opt-in until hardware-validated (repo convention for new
+            # kernel gates): explicit double-buffered DMA pipeline, one
+            # program per batch element, no per-chunk grid steps.
+            y = _manual_call(
+                qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G,
+                scale=scale, bits=bits, chunk=chunk, interpret=interpret,
+                i8dot=i8dot,
+            )
+            return y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype), None
         y, pooled = _chunked_call(
             qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G, scale=scale,
             bits=bits, need_attn=need_attn,
-            chunk=_pick_chunk(C, KVH, kq.shape[3], kq.dtype.itemsize),
+            chunk=chunk,
             interpret=interpret, i8dot=i8dot,
         )
         out = y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype)

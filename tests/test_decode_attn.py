@@ -341,3 +341,55 @@ def test_adaptive_chunk_matches_oneshot(bits):
     np.testing.assert_allclose(
         np.asarray(p1), np.asarray(p0), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("bits", [16, 8, 4])
+@pytest.mark.parametrize("i8dot", [False, True])
+def test_manual_pipeline_matches_one_shot(bits, i8dot, monkeypatch):
+    """CCT_ATTN_MANUAL=1 routes need_attn=False chunked decodes through the
+    explicit double-buffered DMA kernel (one program, fori_loop over
+    chunks); outputs must match the one-shot kernel, including a partially
+    masked trailing region."""
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    if i8dot and bits == 16:
+        pytest.skip("i8dot applies to quantized caches only")
+    monkeypatch.setenv("CCT_ATTN_MANUAL", "1")
+
+    B, KVH, D, G = 1, 2, 128, 4
+    C = 4 * da._DECODE_CHUNK
+    H = KVH * G
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    filled = 3 * da._DECODE_CHUNK + 200
+
+    if bits == 16:
+        kv = np.random.RandomState(12).randn(2, B, KVH, C, D)
+        k = jnp.asarray(kv[0], jnp.bfloat16)
+        v = jnp.asarray(kv[1], jnp.bfloat16)
+        mask = jnp.broadcast_to(
+            jnp.asarray(np.arange(C) < filled), (B, KVH, C)
+        )
+        args = (q, k, v, None, None, None, None, mask)
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=filled)
+        args = (
+            q, state.k, state.v, state.k_scales, state.k_zeros,
+            state.v_scales, state.v_zeros, state.mask,
+        )
+
+    out, attn = quantized_decode_attention(
+        *args, bits=bits, need_attn=False, interpret=True, chunked=True,
+        i8dot=i8dot,
+    )
+    ref_out, _ = quantized_decode_attention(
+        *args, bits=bits, need_attn=False, interpret=True, chunked=False,
+        i8dot=i8dot,
+    )
+    assert attn is None
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
