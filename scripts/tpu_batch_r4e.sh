@@ -59,6 +59,12 @@ run bench32kf_kv8 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --contex
 #     kv8 default, so this pins the no-lever kv8 number they compare to.
 run bench16kf_kv8 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --strategy full --cache_bits 8
 
+# 1c. Manual double-buffered kernel (CCT_ATTN_MANUAL, commit 4011c5c) at
+#     the 32k target — pulled forward from batch F (same leg names; F
+#     skips them if already done).
+run bench32kf_man env CCT_ATTN_MANUAL=1 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --strategy full --cache_bits 16
+run bench32kf_man_kv8 env CCT_ATTN_MANUAL=1 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --strategy full --cache_bits 8
+
 # 2. Overlap levers at 32k (apply whichever 16k A/B wins too).
 # (--cache_bits 16 so the A/B is against batch B's bf16 22.95, not the
 #  new kv8 default.)
