@@ -56,6 +56,10 @@ run bench16kf_man env CCT_ATTN_MANUAL=1 python -u bench.py --model Meta-Llama-3.
 run bench32kf_man env CCT_ATTN_MANUAL=1 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --strategy full --cache_bits 16
 run bench32kf_man_kv8 env CCT_ATTN_MANUAL=1 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 32768 --strategy full --cache_bits 8
 
+# Batched long-context serving row (first-class batch axis the
+# reference lacks): aggregate throughput at 16k under compression.
+run bench16k_b2 python -u bench.py --model Meta-Llama-3.1-8B-Instruct --context 16384 --batch 2
+
 echo "=== BATCH R4F DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 
 # Leave the chip warm on the driver's configuration.
