@@ -55,7 +55,9 @@ TILE_OUT = 256
 #                     layout + scale epilogue INSIDE the cpt kernel
 #                     (grid-step-0 VMEM scratch) so the per-projection
 #                     glue overlaps the weight-block DMAs instead of
-#                     stalling the stream between kernels.
+#                     stalling the stream between kernels. Default ON
+#                     since r4 (=0 restores the XLA prologue): +4 tok/s
+#                     same-machine, weight stream 521 -> 543 GB/s.
 #   CCT_QMM_SPLIT   — N>1 splits each stacked cpt leaf's tile axis into N
 #                     PHYSICALLY SEPARATE HBM buffers at repack time
 #                     (ops/linear.py::to_cpt_split), the multi-stream
@@ -733,7 +735,12 @@ def qmm_w4a8_cpt(x, w_tiles, meta, layer_idx, group_size: int = 128,
     CH = ngc * gs
 
     if inkq is None:
-        inkq = os.environ.get("CCT_QMM_INKQ", "0") == "1"
+        # Default ON since r4: the in-kernel prologue overlaps the first
+        # weight-block DMAs instead of stalling between kernels — measured
+        # 107.6/106.7 vs 103.3 tok/s same-machine (results/tpu_batch_r4/
+        # bench_inkq2*.log, weight stream 543 GB/s vs 521), with exact
+        # math parity to the out-of-kernel prologue (tests/test_qmm_cp.py).
+        inkq = os.environ.get("CCT_QMM_INKQ", "1") == "1"
     if inkq and _STREAMS <= 1:
         cost = pl.CostEstimate(
             flops=2 * L * IN * OUTh * 2,
