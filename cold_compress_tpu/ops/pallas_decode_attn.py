@@ -574,7 +574,7 @@ def _chunked_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
 
 def _kernel_manual(q_ref, kq_hbm, vq_hbm, meta_hbm, o_ref,
                    kbuf, vbuf, mbuf, acc_ref, m_ref, l_ref, sem,
-                   *, KVH, G, scale, bits, i8dot, chunk, n_chunks):
+                   *, KVH, scale, bits, i8dot, chunk, n_chunks):
     """Manual double-buffered chunked attention: grid (B,) — ONE program,
     a ``fori_loop`` over cache chunks with explicit ``make_async_copy``
     prefetch of chunk c+1 while chunk c computes.
@@ -645,10 +645,10 @@ def _manual_call(qf, kq, vq, meta, *, B, KVH, C, D, G, scale, bits,
         vmem_limit_bytes=min(max(vmem, 16 * 2**20), 100 * 2**20)
     )
     kernel = functools.partial(
-        _kernel_manual, KVH=KVH, G=G, scale=scale, bits=bits,
+        _kernel_manual, KVH=KVH, scale=scale, bits=bits,
         i8dot=i8dot, chunk=chunk, n_chunks=NC,
     )
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
     y = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -802,6 +802,10 @@ def quantized_decode_attention(
             # Opt-in until hardware-validated (repo convention for new
             # kernel gates): explicit double-buffered DMA pipeline, one
             # program per batch element, no per-chunk grid steps.
+            # Like the i8dot gate above, this env is read at TRACE time
+            # inside the jit and is not a cache key: it must be
+            # process-constant (flipping it mid-process is a silent
+            # no-op; tests clear_cache() around it).
             y = _manual_call(
                 qf, kq, vq, meta, B=B, KVH=KVH, C=C, D=D, G=G,
                 scale=scale, bits=bits, chunk=chunk, interpret=interpret,
