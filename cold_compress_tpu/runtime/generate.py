@@ -317,12 +317,24 @@ def generate(
         )
         greedy_tok, prefill_probs = _logits_post_jit(logits)
     elif sp_mesh is not None:
-        from ..parallel.sp import sp_prefill
+        if "tp" in sp_mesh.shape and sp_mesh.shape["tp"] > 1:
+            # 2-D sequence x tensor parallel prefill: query blocks shard
+            # over 'sp', heads/FFN columns over 'tp'. Caches come back
+            # head-sharded on 'tp' — the decode loop below compiles over
+            # them under GSPMD (parallel/sp.py::sp_tp_prefill).
+            from ..parallel.sp import sp_tp_prefill
 
-        logits, caches = sp_prefill(
-            cfg, params, rope, caches, tokens,
-            jnp.int32(prompt_length), sp_mesh,
-        )
+            logits, caches = sp_tp_prefill(
+                cfg, params, rope, caches, tokens,
+                jnp.int32(prompt_length), sp_mesh,
+            )
+        else:
+            from ..parallel.sp import sp_prefill
+
+            logits, caches = sp_prefill(
+                cfg, params, rope, caches, tokens,
+                jnp.int32(prompt_length), sp_mesh,
+            )
         greedy_tok, prefill_probs = _logits_post_jit(logits)
     elif tp_ctx is not None:
         # shard_map tensor parallelism: per-device Pallas kernels over the

@@ -244,7 +244,8 @@ def run_task(
         from cold_compress_tpu.parallel.tp_decode import prepare_tp
 
         tp_ctx = prepare_tp(cfg, params, args.tp, dp=args.dp)
-    elif args.tp > 1 or args.dp > 1:
+    elif (args.tp > 1 or args.dp > 1) and getattr(args, "sp", 1) == 1:
+        # (--sp N --tp M takes the sp x tp branch below instead.)
         from cold_compress_tpu.parallel.mesh import shard_model
 
         _, params, caches = shard_model(
@@ -259,13 +260,27 @@ def run_task(
         pp_mesh = make_pp_mesh(args.pp)
     sp_mesh = None
     if getattr(args, "sp", 1) > 1:
-        assert args.tp == 1 and args.dp == 1 and not use_batch, (
-            "--sp currently composes with single-lane, tp=dp=1 runs"
+        assert args.dp == 1 and not use_batch, (
+            "--sp composes with --tp (2-D sp x tp) on single-lane runs; "
+            "dp/batched lanes take --tp/--dp alone"
         )
-        from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_supported
+        from cold_compress_tpu.parallel.sp import (
+            make_sp_mesh,
+            make_sp_tp_mesh,
+            sp_supported,
+        )
 
         assert sp_supported(caches)
-        sp_mesh = make_sp_mesh(args.sp)
+        if args.tp > 1:
+            assert tp_ctx is None, "--sp with --tp uses GSPMD; drop --tp_kernels"
+            from cold_compress_tpu.ops.linear import is_quantized as _isq
+
+            assert not any(
+                map(_isq, jax.tree.leaves(params, is_leaf=_isq))
+            ), "--sp with --tp requires dense (bf16) weights"
+            sp_mesh = make_sp_tp_mesh(args.sp, args.tp)
+        else:
+            sp_mesh = make_sp_mesh(args.sp)
     mcl = min_cache_length(specs)
 
     # Pin one prefill bucket per task (the longest prompt's power-of-two

@@ -127,10 +127,11 @@ def main(args) -> None:
 
         tp_ctx = prepare_tp(cfg, params, args.tp)
         print(f"Tensor-parallel (shard_map kernels) over {args.tp} devices")
-    elif args.tp > 1:
+    elif args.tp > 1 and getattr(args, "sp", 1) == 1:
         # Shard weights column/row-wise and caches on the KV-head axis over
         # a (1, tp) mesh; GSPMD inserts the two per-layer all-reduces the
         # reference wires by hand (reference: generate.py:79-86, tp.py:171).
+        # (--sp N --tp M takes the sp x tp branch below instead.)
         from cold_compress_tpu.parallel.mesh import shard_model
 
         mesh, params, caches = shard_model(cfg, params, caches, tp=args.tp)
@@ -149,12 +150,32 @@ def main(args) -> None:
 
     sp_mesh = None
     if getattr(args, "sp", 1) > 1:
-        assert args.tp == 1, "--sp composes with --tp in a later revision"
-        from cold_compress_tpu.parallel.sp import make_sp_mesh, sp_supported
+        from cold_compress_tpu.parallel.sp import (
+            make_sp_mesh,
+            make_sp_tp_mesh,
+            sp_supported,
+        )
 
         assert sp_supported(caches)  # covers every strategy incl. hybrid
-        sp_mesh = make_sp_mesh(args.sp)
-        print(f"Sequence-parallel prefill over {args.sp} devices")
+        if args.tp > 1:
+            # 2-D sp x tp: sp shards prefill query blocks, tp shards
+            # heads/FFN columns; decode runs over the tp-head-sharded
+            # caches under GSPMD (parallel/sp.py::sp_tp_prefill — dense
+            # weights only; quantized runs take --tp alone).
+            assert tp_ctx is None, "--sp with --tp uses GSPMD; drop --tp_kernels"
+            from cold_compress_tpu.ops.linear import is_quantized as _isq
+
+            assert not any(
+                map(_isq, jax.tree.leaves(params, is_leaf=_isq))
+            ), "--sp with --tp requires dense (bf16) weights"
+            sp_mesh = make_sp_tp_mesh(args.sp, args.tp)
+            print(
+                f"Sequence x tensor parallel prefill over "
+                f"{args.sp}x{args.tp} devices"
+            )
+        else:
+            sp_mesh = make_sp_mesh(args.sp)
+            print(f"Sequence-parallel prefill over {args.sp} devices")
 
     if args.profile:
         try:
