@@ -711,6 +711,192 @@ def _pick_chunk(C: int, KVH: int, Dp: int, itemsize: int) -> int:
     return chunk
 
 
+# --------------------------------------------------------------------------
+# V2 ("slim") decode kernel — CCT_ATTN_V2 gate
+#
+# The r4 hardware legs put the big-cache chunked kernel at ~116-155 GB/s
+# effective vs the ~470-632 GB/s the one-shot kernel and the weight stream
+# reach (PERF.md round-4; the 32k full-cache rows are the only table where
+# the reference stays ahead). Two structural taxes the grid kernel pays that
+# the bytes don't require:
+#   * the [B, KVH, 8, C] f32 "meta" operand is STACKED AND PADDED in XLA
+#     on every decode step (scales/zeros/mask re-written to HBM: +8.4 MB
+#     write +8.4 MB read per layer at 32k-bf16 — ~12% of K+V) — v2 passes
+#     scales/zeros/mask as separate [B, KVH, C] operands read in place;
+#   * e/aux output blocks are allocated and written back every grid step
+#     even with need_attn=False — v2 has no outputs besides `o`.
+# One kernel covers one-shot and chunked: grid (B, NC) with NC == 1 IS the
+# one-shot (init and finalize run in the same step), so the slim layout
+# also lifts the one-shot VMEM ceiling (67 MB K+V = full@16k-bf16 /
+# full@32k-kv8 now fit a 96 MB window).
+# --------------------------------------------------------------------------
+
+
+def _v2_budget_bytes() -> int:
+    """One-shot K+V budget for the v2 kernel (CCT_ATTN_V2_OS_MB). Larger
+    than v1's because v2 has no [8, C] f32 meta/probs blocks in the same
+    window."""
+    return int(os.environ.get("CCT_ATTN_V2_OS_MB", "72")) * 2**20
+
+
+def _pick_chunk_v2(C: int, KVH: int, Dp: int, itemsize: int) -> int:
+    """Cache-axis chunk for the v2 grid: grow while the double-buffered
+    K+V blocks fit half the v2 window (fewer, fatter steps — grid-step
+    overhead dominated the v1 measurements). CCT_ATTN_CHUNK overrides."""
+    env = int(os.environ.get("CCT_ATTN_CHUNK", "0"))
+    if env and C % env == 0 and C // env >= 2:
+        return env
+    chunk = _DECODE_CHUNK
+    while (
+        C % (chunk * 2) == 0
+        and C // (chunk * 2) >= 2
+        and 4 * KVH * (chunk * 2) * Dp * itemsize <= _v2_budget_bytes()
+    ):
+        chunk *= 2
+    return chunk
+
+
+def _kernel_v2(q_ref, *refs, KVH, scale, bits, i8dot, n_chunks):
+    """Slim online-softmax over cache chunks; see the section comment."""
+    if bits == 16:
+        kq_ref, vq_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        (kq_ref, vq_ref, ks_ref, kz_ref, vs_ref, vz_ref, mask_ref,
+         o_ref, acc_ref, m_ref, l_ref) = refs
+    nc = pl.program_id(1)
+
+    @pl.when(nc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    off = 0.0 if bits == 16 else float(2 ** (bits - 1))
+    for h in range(KVH):
+        q = q_ref[0, h]  # [8, D] bf16
+        live = mask_ref[0, h][None, :] > 0.5  # [1, CHUNK]
+        if bits != 16:
+            sk, zk_raw = ks_ref[0, h], kz_ref[0, h]
+            sv, zv_raw = vs_ref[0, h], vz_ref[0, h]
+            # Folded zero' (see module header) computed in-kernel: one VPU
+            # fma on [CHUNK] replaces v1's whole stacked-meta HBM stream.
+            zk = zk_raw - off * sk
+            zv = zv_raw - off * sv
+
+        if i8dot and bits in (2, 4, 8):
+            k_off, v_off = (zk_raw, zv_raw) if bits == 8 else (zk, zv)
+            s = _i8_scores(q, kq_ref[0, h], sk, k_off, scale, bits)
+        elif bits == 16:
+            s = jax.lax.dot_general(
+                q, kq_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        else:
+            ksegs = _dequant_segs(kq_ref[0, h], sk, zk, bits)
+            Dseg = ksegs[0].shape[-1]
+            s = sum(
+                jax.lax.dot_general(
+                    q[:, i * Dseg : (i + 1) * Dseg],
+                    kseg.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for i, kseg in enumerate(ksegs)
+            ) * scale
+        s = jnp.where(live, s, NEG_INF)
+
+        m_prev = m_ref[h, :, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.where(live, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_ref[h, :, 0:1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+
+        if i8dot and bits in (2, 4, 8):
+            pv = _i8_pv(e, vq_ref[0, h], sv, v_off, bits)
+        elif bits == 16:
+            pv = jax.lax.dot_general(
+                e.astype(jnp.bfloat16), vq_ref[0, h].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            vsegs = _dequant_segs(vq_ref[0, h], sv, zv, bits)
+            eb = e.astype(jnp.bfloat16)
+            pv = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        eb, vseg.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for vseg in vsegs
+                ],
+                axis=-1,
+            )
+        acc_new = acc_ref[h] * corr + pv
+        acc_ref[h] = acc_new
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+        l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+
+        @pl.when(nc == n_chunks - 1)
+        def _finalize():
+            o_ref[0, h] = acc_new / jnp.maximum(l_new, 1e-30)
+
+
+def _v2_call(qf, kq, vq, k_scales, k_zeros, v_scales, v_zeros, maskf, *,
+             B, KVH, C, D, G, scale, bits, interpret, i8dot):
+    """pallas_call wrapper for the v2 kernel (need_attn=False only)."""
+    Dp = kq.shape[3]
+    kv_bytes = 2 * KVH * C * Dp * kq.dtype.itemsize
+    if kv_bytes <= _v2_budget_bytes() or C % _DECODE_CHUNK:
+        chunk = C  # one-shot: a single fat grid step
+    else:
+        chunk = _pick_chunk_v2(C, KVH, Dp, kq.dtype.itemsize)
+    NC = C // chunk
+    # Window: double-buffered K+V (+f32 sidecars) blocks, q/o, scratch.
+    n_side = 1 if bits == 16 else 5
+    blk = 2 * KVH * chunk * Dp * kq.dtype.itemsize + n_side * KVH * chunk * 4
+    vmem = (2 if NC > 1 else 1) * blk + 4 * KVH * 8 * (D + 256) * 4 + 8 * 2**20
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(vmem, 16 * 2**20), 110 * 2**20)
+    )
+    kv_spec = pl.BlockSpec((1, KVH, chunk, Dp), lambda b, c: (b, 0, c, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, KVH, chunk), lambda b, c: (b, 0, c),
+                            memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, KVH, 8, D), lambda b, c: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if bits == 16:
+        in_specs = [q_spec, kv_spec, kv_spec, row_spec]
+        operands = (qf, kq, vq, maskf)
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec] + [row_spec] * 5
+        operands = (qf, kq, vq, k_scales, k_zeros, v_scales, v_zeros, maskf)
+    y = pl.pallas_call(
+        functools.partial(
+            _kernel_v2, KVH=KVH, scale=scale, bits=bits, i8dot=i8dot,
+            n_chunks=NC,
+        ),
+        grid=(B, NC),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, 8, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, 8, D), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+            pltpu.VMEM((KVH, 8, 128), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KVH * 8 * C * D,
+            bytes_accessed=kv_bytes + B * KVH * C * 4 * n_side,
+            transcendentals=B * KVH * 8 * C,
+        ),
+    )(*operands)
+    return y
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "need_attn", "interpret", "chunked", "i8dot"),
@@ -759,6 +945,20 @@ def quantized_decode_attention(
             "CCT_ATTN_I8DOT", "1" if bits == 8 else "0"
         ) == "1"
     i8dot = bool(i8dot) and bits in (2, 4, 8)
+    if (
+        not need_attn
+        and chunked is None
+        and os.environ.get("CCT_ATTN_V2", "0") == "1"
+    ):
+        # Slim decode-only path (see the V2 section comment). Like the
+        # manual/i8dot gates this env is read at trace time and must be
+        # process-constant; tests pass through the explicit kernels.
+        y = _v2_call(
+            qf, kq, vq, k_scales, k_zeros, v_scales, v_zeros,
+            mask.astype(jnp.float32), B=B, KVH=KVH, C=C, D=D, G=G,
+            scale=scale, bits=bits, interpret=interpret, i8dot=i8dot,
+        )
+        return y[:, :, :G].reshape(B, H, 1, D).astype(q.dtype), None
     maskf = mask.astype(jnp.float32)
     if bits == 16:
         zero = jnp.zeros_like(maskf)

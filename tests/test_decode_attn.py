@@ -400,3 +400,63 @@ def test_manual_pipeline_matches_one_shot(bits, i8dot, monkeypatch):
         np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+# (16, True) excluded: i8dot applies to quantized caches only.
+@pytest.mark.parametrize(
+    "bits,i8dot",
+    [(16, False), (8, False), (8, True), (4, False), (4, True), (2, False)],
+)
+@pytest.mark.parametrize("mode", ["oneshot", "chunked"])
+def test_v2_matches_v1(bits, i8dot, mode, monkeypatch):
+    """CCT_ATTN_V2=1 routes need_attn=False decodes through the slim kernel
+    (separate scale/zero/mask operands, no meta stack, no e/aux outputs;
+    grid (B, NC) with NC=1 as the one-shot). Outputs must match the v1
+    kernels for every bits/i8dot combination, one-shot and chunked, with a
+    partially masked tail."""
+    import cold_compress_tpu.ops.pallas_decode_attn as da
+
+    B, KVH, D, G = 1, 2, 128, 4
+    C = 4 * da._DECODE_CHUNK
+    H = KVH * G
+    rng = np.random.RandomState(23)
+    q = jnp.asarray(rng.randn(B, H, 1, D).astype(np.float32) / 8).astype(
+        jnp.bfloat16
+    )
+    filled = 3 * da._DECODE_CHUNK + 200
+
+    if bits == 16:
+        kv = np.random.RandomState(24).randn(2, B, KVH, C, D)
+        k = jnp.asarray(kv[0], jnp.bfloat16)
+        v = jnp.asarray(kv[1], jnp.bfloat16)
+        mask = jnp.broadcast_to(
+            jnp.asarray(np.arange(C) < filled), (B, KVH, C)
+        )
+        args = (q, k, v, None, None, None, None, mask)
+    else:
+        state = _mk_state(bits, B=B, KVH=KVH, C=C, D=D, filled=filled)
+        args = (
+            q, state.k, state.v, state.k_scales, state.k_zeros,
+            state.v_scales, state.v_zeros, state.mask,
+        )
+
+    ref_out, _ = quantized_decode_attention(
+        *args, bits=bits, need_attn=False, interpret=True, chunked=False,
+        i8dot=i8dot,
+    )
+    monkeypatch.setenv("CCT_ATTN_V2", "1")
+    monkeypatch.setenv(
+        "CCT_ATTN_V2_OS_MB", "200" if mode == "oneshot" else "0"
+    )
+    quantized_decode_attention.clear_cache()
+    out, attn = quantized_decode_attention(
+        *args, bits=bits, need_attn=False, interpret=True, i8dot=i8dot,
+    )
+    quantized_decode_attention.clear_cache()
+    assert attn is None
+    # i8dot chunked re-picks per-chunk prob-quantization scales, so the
+    # cross-path tolerance matches the existing manual/multistream tests.
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
