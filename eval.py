@@ -597,6 +597,11 @@ def main(args, out_dir: Path):
     (out_dir / "all_metrics.json").write_text(
         json.dumps(task_metrics, indent=4, default=str)
     )
+    # Machine-readable completion marker for batch idempotence (the TPU
+    # batch scripts skip a leg whose log carries it — without one, eval
+    # legs re-ran on every batch restart; with --overwrite that wiped
+    # finished metrics, which is how the r4 q128 files were lost).
+    print("ALL_TASKS_DONE")
 
 
 def setup(args) -> Path:
