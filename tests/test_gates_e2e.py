@@ -41,6 +41,8 @@ ALL_GATES = (
     "CCT_QMM_CPT",
     "CCT_QMM_INKQ",
     "CCT_ATTN_I8DOT",
+    "CCT_ATTN_V2",
+    "CCT_ATTN_V2_OS_MB",
 )
 
 PROMPT = np.random.RandomState(0).randint(2, 500, size=300).tolist()
@@ -247,3 +249,54 @@ def test_int4_cpt_inkq_end_to_end(kernel_model, monkeypatch):
     assert s1 == s0
     np.testing.assert_allclose(e1, e0, atol=1e-3)
     np.testing.assert_allclose(f1, f0, atol=1e-3)
+
+
+def _full_caches(cfg, cache_bits=None):
+    # full strategy: need_attn=False through the decode path, so the v2
+    # slim kernel routes. C = max_seq = 1024 is chunk-aligned (2 x 512).
+    specs = build_cache_specs(
+        cfg,
+        {
+            "cache_strategy": ["full"],
+            "max_cache_length": [1.0],
+            "prompt_compression_strategy": ["full"],
+            "cache_bits": cache_bits,
+        },
+        max_seq_length=1024,
+    )
+    return T.init_caches(cfg, specs, 1, jnp.bfloat16)
+
+
+@pytest.mark.parametrize("cache_bits", [None, 8])
+def test_attn_v2_end_to_end(kernel_model, cache_bits, monkeypatch):
+    """CCT_ATTN_V2=1 (slim decode attention, separate scale/zero/mask
+    operands, no meta stack) through generate() on a full cache: greedy
+    tokens and per-step probabilities match the XLA baseline, in both the
+    one-shot (NC=1) and forced-chunked (CCT_ATTN_V2_OS_MB=0) routings."""
+    cfg, params, rope = kernel_model
+
+    def run_full(env):
+        for k in ALL_GATES:
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        jax.clear_caches()
+        p = T.fuse_layer_params(T.stack_layer_params(params))
+        if env.get("CCT_PALLAS_INTERPRET") == "1":
+            p = T.colpack_layer_params(p)
+        caches = _full_caches(cfg, cache_bits=cache_bits)
+        seq, info, _ = generate(
+            cfg, p, rope, caches, PROMPT, 8, prefill_bucket=512,
+            next_tokens=FORCED,
+        )
+        return seq, np.asarray(info["emitted_probs"], dtype=np.float64)
+
+    s0, e0 = run_full({})
+    s1, e1 = run_full({"CCT_PALLAS_INTERPRET": "1", "CCT_ATTN_V2": "1"})
+    np.testing.assert_allclose(e1, e0, atol=8e-2)
+    s2, e2 = run_full({
+        "CCT_PALLAS_INTERPRET": "1",
+        "CCT_ATTN_V2": "1",
+        "CCT_ATTN_V2_OS_MB": "0",
+    })
+    np.testing.assert_allclose(e2, e0, atol=8e-2)
