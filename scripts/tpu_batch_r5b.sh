@@ -70,6 +70,8 @@ LEG_TIMEOUT=3600 run bench65kf_v2 env CCT_ATTN_V2=1 python -u bench.py $V31 --co
 
 # 3. Quiet re-runs of contaminated batch-A windows.
 run bench_default2 python -u bench.py
+run bench8kf_kv8b python -u bench.py --strategy full --cache_bits 8
+run bench_hybrid_kv8b python -u bench.py --strategy hybrid --cache_bits 8
 
 echo "=== BATCH R5B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 commit_results "r5 batch B: complete"
