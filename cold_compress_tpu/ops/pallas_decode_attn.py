@@ -1090,6 +1090,11 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     budget."""
     from .pallas_qmm import backend_ok
 
+    if os.environ.get("CCT_ATTN_DISABLE", "0") == "1":
+        # Diagnostic: route decode attention through the XLA einsum path
+        # (materialize_kv + gqa_attention) to benchmark the non-Pallas
+        # baseline at a given context.
+        return False
     if not backend_ok():
         return False
     B, H, L, D = q_shape

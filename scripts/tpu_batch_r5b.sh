@@ -65,6 +65,9 @@ run bench16kf_v2k8 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 16384 --s
 run bench32kf_v2k8 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 32768 --strategy full --cache_bits 8
 run bench32kf_v2   env CCT_ATTN_V2=1 python -u bench.py $V31 --context 32768 --strategy full --cache_bits 16
 run bench_v2_guard env CCT_ATTN_V2=1 python -u bench.py
+# XLA-einsum fallback datapoint at the 32k bf16 row (the module header's
+# "~240 GB/s" claim, end-to-end).
+run bench32kf_xla env CCT_ATTN_DISABLE=1 python -u bench.py $V31 --context 32768 --strategy full --cache_bits 16
 LEG_TIMEOUT=3600 run bench65kf_v2k8 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 65536 --strategy full --cache_bits 8
 LEG_TIMEOUT=3600 run bench65kf_v2 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 65536 --strategy full --cache_bits 16
 
