@@ -107,7 +107,10 @@ def main():
             cfg, mode=f"int{args.weight_bits}",
             head_mode=f"int{args.head_bits}",
         )
-    rope = T.make_rope_table(cfg)
+    # Truncated to the benched context: rope rows are per-position and a
+    # Llama-3.1 full table is 67 MB (see make_rope_table). A/B'd on
+    # hardware in r5 batch D (bench31_8k_ropetrunc).
+    rope = T.make_rope_table(cfg, max_positions=args.context)
     log(f"params built in {time.time() - t0:.1f}s")
 
     # full and hybrid are direct-fill strategies: they require the whole

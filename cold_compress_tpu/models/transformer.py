@@ -99,9 +99,19 @@ def init_params(
     return params
 
 
-def make_rope_table(cfg: ModelConfig) -> jax.Array:
+def make_rope_table(
+    cfg: ModelConfig, max_positions: Optional[int] = None
+) -> jax.Array:
+    """Rope rows for positions [0, n): rows are per-position, so a table
+    truncated to the run's actual max sequence length is exact. Matters
+    for long-block models: Llama-3.1's full table is 131072 x hd/2 x 2
+    f32 = 67 MB living next to the decode loop for runs that never pass
+    8-16k (r5 flat-curve isolation, PERF.md round-5)."""
+    n = cfg.block_size
+    if max_positions is not None:
+        n = min(n, max(int(max_positions), 16))
     return precompute_freqs_cis(
-        cfg.block_size, cfg.head_dim, cfg.rope_base, cfg.rope_scaling
+        n, cfg.head_dim, cfg.rope_base, cfg.rope_scaling
     )
 
 

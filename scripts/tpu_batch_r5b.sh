@@ -76,5 +76,10 @@ run bench_default2 python -u bench.py
 run bench8kf_kv8b python -u bench.py --strategy full --cache_bits 8
 run bench_hybrid_kv8b python -u bench.py --strategy hybrid --cache_bits 8
 
+# 4. Rope-table truncation A/B (flat-curve attribution, VERDICT r4 #3):
+#    batch A's bench31_8k_b2k ran the full 67 MB Llama-3.1 table (92.69);
+#    bench.py now truncates the table to the benched context.
+run bench31_8k_b2k2 python -u bench.py $V31 --context 8192 --budget_frac 2048
+
 echo "=== BATCH R5B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 commit_results "r5 batch B: complete"
