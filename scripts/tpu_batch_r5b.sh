@@ -71,6 +71,12 @@ run bench32kf_xla env CCT_ATTN_DISABLE=1 python -u bench.py $V31 --context 32768
 LEG_TIMEOUT=3600 run bench65kf_v2k8 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 65536 --strategy full --cache_bits 8
 LEG_TIMEOUT=3600 run bench65kf_v2 env CCT_ATTN_V2=1 python -u bench.py $V31 --context 65536 --strategy full --cache_bits 16
 
+# 2b. 65k compressed rows (batch A's bench65k_b2k/hh failed on the
+# flash_prefill vmem estimate, fixed same-day; their error JSON matches
+# the idempotence grep so they need fresh names).
+LEG_TIMEOUT=3600 run bench65k_b2k2 python -u bench.py $V31 --context 65536 --budget_frac 2048
+LEG_TIMEOUT=3600 run bench65k_hh2 python -u bench.py $V31 --context 65536
+
 # 3. Quiet re-runs of contaminated batch-A windows.
 run bench_default2 python -u bench.py
 run bench8kf_kv8b python -u bench.py --strategy full --cache_bits 8
