@@ -75,7 +75,7 @@ LEG_TIMEOUT=3600 run bench65kf_v2 env CCT_ATTN_V2=1 python -u bench.py $V31 --co
 # flash_prefill vmem estimate, fixed same-day; their error JSON matches
 # the idempotence grep so they need fresh names).
 LEG_TIMEOUT=3600 run bench65k_b2k2 python -u bench.py $V31 --context 65536 --budget_frac 2048
-LEG_TIMEOUT=3600 run bench65k_hh2 python -u bench.py $V31 --context 65536
+LEG_TIMEOUT=3600 run bench65kf_kv8b python -u bench.py $V31 --context 65536 --strategy full --cache_bits 8
 
 # 3. Quiet re-runs of contaminated batch-A windows.
 run bench_default2 python -u bench.py
