@@ -387,5 +387,11 @@ if __name__ == "__main__":
     ap.add_argument("--variants", default=",".join(ALL))
     args = ap.parse_args()
     for name in args.variants.split(","):
-        ALL[name]()
+        try:
+            ALL[name]()
+        except Exception as e:
+            # One variant must not kill the rest (the dma_strided8 leg
+            # trips a jax-internal mlir lowering-cache KeyError on this
+            # backend — r5 batch B).
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
     print("RESULT_OK")
