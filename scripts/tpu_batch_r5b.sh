@@ -89,3 +89,10 @@ run bench31_8k_b2k2 python -u bench.py $V31 --context 8192 --budget_frac 2048
 
 echo "=== BATCH R5B DONE $(date -u +%FT%TZ)" | tee -a "$SUM"
 commit_results "r5 batch B: complete"
+
+# Appended mid-batch (EOF append; earlier byte offsets untouched):
+# the XLA fallback at 16k bf16 — if the einsum path beats the chunked
+# kernel for big bf16 caches, routing becomes measurement-driven.
+run bench16kf_xla env CCT_ATTN_DISABLE=1 python -u bench.py $V31 --context 16384 --strategy full --cache_bits 16
+echo "=== BATCH R5B DONE(2) $(date -u +%FT%TZ)" | tee -a "$SUM"
+commit_results "r5 batch B: appended xla leg complete"
