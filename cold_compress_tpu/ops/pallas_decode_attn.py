@@ -733,27 +733,22 @@ def _pick_chunk(C: int, KVH: int, Dp: int, itemsize: int) -> int:
 
 
 def _v2_budget_bytes() -> int:
-    """One-shot K+V budget for the v2 kernel (CCT_ATTN_V2_OS_MB). Larger
-    than v1's because v2 has no [8, C] f32 meta/probs blocks in the same
-    window."""
-    return int(os.environ.get("CCT_ATTN_V2_OS_MB", "72")) * 2**20
+    """One-shot K+V budget for the v2 kernel (CCT_ATTN_V2_OS_MB).
+
+    Hardware (r5 batch B): the one-DMA rate DEGRADES with size past
+    ~40 MB — 67 MB one-shot measured ~133 GB/s end-to-end (16k-bf16 40.25
+    / 32k-kv8 38.51 tok/s) vs the chunked kernel's ~200 GB/s on the same
+    rows (45.7 / 40.9). Same for fat chunks: 8192-wide chunks at 32k-bf16
+    measured 20.0 vs 22.95 with 2048-wide. So v2 keeps v1's proven
+    routing sizes (40 MB one-shot, _pick_chunk chunks) and its win is the
+    removed meta stream + e/aux outputs."""
+    return int(os.environ.get("CCT_ATTN_V2_OS_MB", "40")) * 2**20
 
 
 def _pick_chunk_v2(C: int, KVH: int, Dp: int, itemsize: int) -> int:
-    """Cache-axis chunk for the v2 grid: grow while the double-buffered
-    K+V blocks fit half the v2 window (fewer, fatter steps — grid-step
-    overhead dominated the v1 measurements). CCT_ATTN_CHUNK overrides."""
-    env = int(os.environ.get("CCT_ATTN_CHUNK", "0"))
-    if env and C % env == 0 and C // env >= 2:
-        return env
-    chunk = _DECODE_CHUNK
-    while (
-        C % (chunk * 2) == 0
-        and C // (chunk * 2) >= 2
-        and 4 * KVH * (chunk * 2) * Dp * itemsize <= _v2_budget_bytes()
-    ):
-        chunk *= 2
-    return chunk
+    """v2 chunk width = v1's proven adaptive pick (see _v2_budget_bytes:
+    fatter chunks measured slower). CCT_ATTN_CHUNK still overrides."""
+    return _pick_chunk(C, KVH, Dp, itemsize)
 
 
 def _kernel_v2(q_ref, *refs, KVH, scale, bits, i8dot, n_chunks):
