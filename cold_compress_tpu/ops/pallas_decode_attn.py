@@ -1102,6 +1102,19 @@ def decode_attn_supported(spec, q_shape, C: int, kvh: int) -> bool:
     if L != 1 or C % 128 or D % 128:
         return False
     kv_full = 2 * kvh * C * dp_bytes
+    if bits == 16 and kv_full > _oneshot_budget_bytes():
+        # Measured routing (r5 batch B, 32k bf16 full cache): the XLA
+        # einsum path runs 33.0 tok/s where the Pallas chunked kernel
+        # plateaus at 22.95-23.36 (2048/4096 chunks, manual double-buffer,
+        # multi-stream all within noise of each other) — big bf16 blocks
+        # stream ~200 GB/s through any Pallas grid on this part while
+        # XLA's fused einsum does better end-to-end. Quantized caches
+        # stay on the kernel: the XLA path would materialize a bf16 copy
+        # of the cache in HBM every step (caches/base.py::materialize_kv),
+        # and the chunked kernel already beats the reference there
+        # (40.88 vs 30.03 @32k kv8). CCT_ATTN_FORCE=1 overrides for A/Bs.
+        if os.environ.get("CCT_ATTN_FORCE", "0") != "1":
+            return False
     # Mirror quantized_decode_attention's chunked=None routing exactly so
     # the gate never admits a config the chosen kernel can't compile:
     # chunk-aligned caches take the pipelined kernel unless one-shot is
